@@ -1,0 +1,111 @@
+"""Engine configuration.
+
+Analog of the reference's env-var config module (``[ref: mc_config.py — unverified]``,
+SURVEY.md §2 X3): a single frozen dataclass, every tunable in one place, a single seed
+from which ALL randomness derives, and a stable content hash so lineage manifests can
+record exactly which configuration produced a checkpoint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict, dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- determinism -------------------------------------------------------
+    seed: int = 42
+
+    # ---- text normalization / shingling (SURVEY.md M1, F7) -----------------
+    shingle_k: int = 5          # char k-gram width for MinHash shingles
+    feature_text_max_chars: int = 2048   # truncation for derived features only;
+                                         # stored `text` is NEVER mutated
+
+    # ---- MinHash / SimHash signatures (SURVEY.md M4) -----------------------
+    num_perm: int = 128         # K minhash permutations
+    num_bands: int = 32         # B bands ...
+    band_rows: int = 4          # ... of R rows each; B*R must equal num_perm
+    simhash_bits: int = 64
+
+    # ---- blocking / skew control (SURVEY.md M6, A5, O1) --------------------
+    hot_block_threshold: int = 64    # band groups larger than this get salted
+    max_pairs_per_block: int = 4096  # hard cap on pairs emitted per (salted) block
+    simhash_prefilter_bits: int = 26 # drop candidate pairs with hamming > this
+                                     # (64-bit simhash; loose on purpose — recall
+                                     # is protected by multi-band redundancy)
+
+    # ---- pairwise scoring (SURVEY.md T2, F1, F2) ---------------------------
+    lev_max_chars: int = 192    # banded-Levenshtein feature truncation
+    jw_max_chars: int = 128     # Jaro-Winkler feature truncation
+    lev_band_radius: int = 48   # |i-j| band for the Levenshtein DP
+    w_jaccard: float = 0.35     # n-gram Jaccard weight
+    w_cosine: float = 0.15      # SimHash-cosine weight
+    w_jw: float = 0.15          # Jaro-Winkler weight
+    w_lev: float = 0.35         # Levenshtein-ratio weight
+    tau: float = 0.62           # accept threshold on the weighted score
+
+    # ---- execution sizing (SURVEY.md §4) -----------------------------------
+    batch_size_rows: int = 4096      # map_batches batch size for row-level stages
+    pair_batch_size: int = 2048      # scorer actor-pool batch size
+    scorer_concurrency: int = 4      # scorer actor pool size (min; scales with CPUs)
+    num_hash_partitions: int = 0     # 0 → derive from cluster CPUs
+    closure_max_rounds: int = 32     # hash-to-min safety bound (O(log d) expected)
+
+    # ---- io ----------------------------------------------------------------
+    work_dir: str = "/tmp/mc_ray_work"
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.band_rows != self.num_perm:
+            raise ValueError(
+                f"num_bands*band_rows ({self.num_bands}*{self.band_rows}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+
+    # ------------------------------------------------------------------
+    def content_hash(self) -> str:
+        """Stable hash of every field that affects pipeline OUTPUT (not layout).
+
+        Used as the config fingerprint in lineage manifests: a checkpoint is
+        only reusable if this hash matches (SURVEY.md §4 checkpoint/resume).
+        Execution-sizing fields are excluded — changing actor counts must not
+        invalidate checkpoints.
+        """
+        d = asdict(self)
+        for k in ("batch_size_rows", "pair_batch_size", "scorer_concurrency",
+                  "num_hash_partitions", "work_dir"):
+            d.pop(k)
+        blob = json.dumps(d, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def with_(self, **kw) -> "Config":
+        return replace(self, **kw)
+
+    @staticmethod
+    def from_env(**overrides) -> "Config":
+        """12-factor style: MCRAY_<FIELD> env vars override defaults."""
+        kw = {}
+        for f in Config.__dataclass_fields__.values():
+            env = os.environ.get(f"MCRAY_{f.name.upper()}")
+            if env is not None:
+                typ = type(f.default)
+                kw[f.name] = typ(env)
+        kw.update(overrides)
+        return Config(**kw)
+
+
+def default_parallelism() -> int:
+    """Partition count for hash-bucketed wide stages: ~2 buckets per CPU in the
+    cluster, floor 8 — at 100 TB on a 256-node cluster this derives from cluster
+    resources, not from a constant."""
+    try:
+        import ray
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        else:
+            cpus = os.cpu_count() or 8
+    except Exception:  # pragma: no cover
+        cpus = os.cpu_count() or 8
+    return max(8, 2 * cpus)

@@ -1,0 +1,122 @@
+"""Vectorized 64-bit hashing primitives (numpy, no external hash libs).
+
+The reference's signature is a perceptual image hash
+(``[ref: mc_models.py img_to_hsh — unverified]``, SURVEY.md M4); ours is built from
+char-shingle hashes. No mmh3/xxhash in this environment, so everything is
+hand-written: splitmix64 mixing, polynomial rolling shingle hashes, popcount —
+all operating on whole numpy arrays (uint64 wraparound is well-defined and silent
+in numpy unsigned arithmetic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_M1 = U64(0xBF58476D1CE4E5B9)
+_SM_M2 = U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Stateless splitmix64 finalizer — high-avalanche 64-bit mix.
+
+    Used (a) to finalize rolling shingle hashes, (b) xor-mixed with per-permutation
+    constants as the MinHash "permutation" family, (c) for stable string digests.
+    """
+    z = np.add(x, _SM_GAMMA, dtype=U64)
+    t = np.right_shift(z, U64(30))
+    z ^= t
+    z *= _SM_M1
+    np.right_shift(z, U64(27), out=t)
+    z ^= t
+    z *= _SM_M2
+    np.right_shift(z, U64(31), out=t)
+    z ^= t
+    return z
+
+
+def perm_constants(num_perm: int, seed: int) -> np.ndarray:
+    """K distinct 64-bit xor constants derived deterministically from `seed`."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | U64(1)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (SWAR; SURVEY.md F1)."""
+    x = x.astype(U64, copy=True)
+    x -= (x >> U64(1)) & U64(0x5555555555555555)
+    x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+    x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+    return ((x * U64(0x0101010101010101)) >> U64(56)).astype(np.int64)
+
+
+def hash_bytes_array(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Order-sensitive uint64 digest of each [start, end) slice of a uint8 buffer,
+    fully vectorized (polynomial hash mod 2**64 with an odd multiplier, finalized
+    with splitmix64). One pass over the total byte count — no per-row Python loop.
+
+    Used for exact-content digests (SURVEY.md M5/F6): equal bytes ⇒ equal digest;
+    different bytes ⇒ different digest except for ~2^-64 collisions, acceptable
+    because exact-dup groups are verified cheaply downstream by the scorer.
+    """
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, U64)
+    starts = starts.astype(np.int64, copy=False)
+    ends = ends.astype(np.int64, copy=False)
+    lengths = ends - starts
+    total = int(lengths.sum())
+    if total == 0:
+        return splitmix64(np.zeros(n, U64))
+    cum = np.zeros(n, np.int64)
+    np.cumsum(lengths[:-1], out=cum[1:])
+    pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(cum, lengths)
+    gather = np.repeat(starts, lengths) + pos_in_row
+    vals = data[gather].astype(U64)
+    max_len = int(lengths.max())
+    powers = np.empty(max_len, U64)
+    powers[0] = U64(1)
+    if max_len > 1:
+        np.cumprod(np.full(max_len - 1, U64(0x100000001B3)), out=powers[1:])
+    # mix each byte with its in-row position before weighting: cheap avalanche
+    contrib = (vals + U64(0x9E3779B97F4A7C15)) * powers[pos_in_row]
+    padded = np.concatenate([contrib, np.zeros(1, U64)])  # sentinel for empty rows
+    sums = np.add.reduceat(padded, np.minimum(cum, total))
+    sums[lengths == 0] = U64(0)
+    return splitmix64(sums ^ lengths.astype(U64))
+
+
+def arrow_string_buffers(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy view of an Arrow string/large_string array as
+    ``(byte_buffer, starts, ends)`` numpy arrays (int64 offsets).
+
+    Nulls are treated as empty strings. This is the entry point for every
+    vectorized text kernel (shingling, digests) — no per-row Python objects.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    off_buf = arr.buffers()[1]
+    data_buf = arr.buffers()[2]
+    offsets = np.frombuffer(off_buf, dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.empty(0, np.uint8)
+    return data, offsets[:-1].copy(), offsets[1:].copy()
+
+
+def hash_strings(strings, seed: int = 0) -> np.ndarray:
+    """Stable uint64 digest per string of an Arrow array / python list."""
+    import pyarrow as pa
+
+    arr = strings if isinstance(strings, (pa.Array, pa.ChunkedArray)) else pa.array(
+        strings, type=pa.string()
+    )
+    data, starts, ends = arrow_string_buffers(arr)
+    h = hash_bytes_array(data, starts, ends)
+    if seed:
+        h = splitmix64(h ^ U64(seed))
+    return h
