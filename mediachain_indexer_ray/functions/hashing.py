@@ -88,6 +88,15 @@ def hash_bytes_array(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> 
     return splitmix64(sums ^ lengths.astype(U64))
 
 
+def as_array(arr):
+    """ChunkedArray → contiguous Array; Array passes through."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
 def arrow_string_buffers(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Zero-copy view of an Arrow string/large_string array as
     ``(byte_buffer, starts, ends)`` numpy arrays (int64 offsets).

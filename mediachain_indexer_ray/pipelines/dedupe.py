@@ -1,0 +1,125 @@
+"""The flagship batch-dedupe pipeline (SURVEY.md §3.2) — the Ray-Data-native
+re-expression of ``mediachain-indexer-models dedupe_reindex``
+(``[ref: mc_models.py — unverified]``):
+
+    read transcripts ─ map_batches(normalize)
+      → [shuffle conv_id]     assembly (stable turn order)
+      → map_batches           signatures (digest + MinHash + SimHash)
+      → [shuffle digest]      exact dedup → representatives + identity edges
+      → map_batches           LSH band emission
+      → [shuffle band_key]    salted pair emission (hot-block split, caps)
+      → [shuffle (a,b)]       cross-band pair dedup + simhash prefilter
+      → hash join ×2          attach feature text
+      → actor pool            pairwise scoring (JW/Lev/SimHash-cos/Jaccard)
+      → filter τ              accepted edges (∪ exact edges)
+      → iterated shuffles     Hash-to-Min connected components
+      → clusters (conv_id, cluster_id) + per-stage lineage manifests
+
+Unlike the reference, nothing lives only in driver memory; every stage is a
+Parquet checkpoint and the job resumes from the last completed one.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from mediachain_indexer_ray.config import Config, default_parallelism
+from mediachain_indexer_ray.sources.transcripts import read_transcripts
+from mediachain_indexer_ray.stages.assemble import assemble
+from mediachain_indexer_ray.stages.blocking import (
+    dedup_pairs,
+    emit_bands,
+    emit_pairs,
+    exact_dedup_mixed,
+    simhash_prefilter,
+    split_exact_dedup,
+)
+from mediachain_indexer_ray.stages.closure import connected_components
+from mediachain_indexer_ray.stages.scoring import attach_pair_texts, score_pairs
+from mediachain_indexer_ray.stages.signatures import signatures
+from mediachain_indexer_ray.state.checkpoint import CheckpointManager
+import pyarrow as pa
+
+
+def dedupe_pipeline(
+    transcripts_path: str,
+    cfg: Config,
+    work_dir: str | None = None,
+) -> dict[str, ray.data.Dataset]:
+    """Run (or resume) the full dedupe. Returns datasets for the key outputs:
+    conversations, signatures, pairs (scored), clusters."""
+    work = work_dir or cfg.work_dir
+    cp = CheckpointManager(work, cfg.content_hash())
+    P = cfg.num_hash_partitions or default_parallelism()
+
+    fp_in = cp.input_fingerprint(transcripts_path)
+    convs = cp.run(
+        "conversations",
+        fp_in,
+        lambda: assemble(read_transcripts(transcripts_path), cfg),
+    )
+
+    fp_convs = cp.input_fingerprint("conversations")
+    sigs = cp.run(
+        "signatures",
+        fp_convs,
+        lambda: signatures(convs, cfg),
+    )
+
+    fp_sigs = cp.input_fingerprint("signatures")
+    mixed = cp.run("exact_dedup", fp_sigs, lambda: exact_dedup_mixed(sigs, cfg))
+    reps, exact_edges = split_exact_dedup(mixed)
+
+    fp_exact = cp.input_fingerprint("exact_dedup")
+    pairs = cp.run(
+        "pairs",
+        fp_exact,
+        lambda: dedup_pairs(emit_pairs(emit_bands(reps, cfg), cfg), cfg),
+    )
+
+    fp_pairs = cp.input_fingerprint("exact_dedup", "pairs")
+    scored = cp.run(
+        "pairs_scored",
+        fp_pairs,
+        lambda: score_pairs(
+            attach_pair_texts(simhash_prefilter(pairs, cfg), reps, cfg, P), cfg
+        ),
+    )
+
+    fp_scored = cp.input_fingerprint("exact_dedup", "pairs_scored")
+
+    def _build_edges() -> ray.data.Dataset:
+        accepted = scored.filter(expr="accepted == True").select_columns(["a", "b"])
+        return accepted.union(exact_edges)
+
+    edges = cp.run("edges", fp_scored, _build_edges)
+
+    fp_edges = cp.input_fingerprint("edges", "signatures")
+
+    def _build_clusters() -> ray.data.Dataset:
+        comp = connected_components(edges, cfg)
+        # singletons: every conversation not in any edge clusters with itself
+        ids = sigs.select_columns(["conv_id"])
+
+        def _self(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"conv_id": b.column("conv_id"), "cluster_id": b.column("conv_id")}
+            )
+
+        selfs = ids.map_batches(_self, batch_format="pyarrow", zero_copy_batch=True)
+        both = comp.union(selfs)
+        # min label per node (component label wins over self label)
+        return both.groupby("conv_id").min("cluster_id").rename_columns(
+            {"min(cluster_id)": "cluster_id"}
+        )
+
+    clusters = cp.run("clusters", fp_edges, _build_clusters)
+
+    return {
+        "conversations": convs,
+        "signatures": sigs,
+        "pairs": scored,
+        "edges": edges,
+        "clusters": clusters,
+        "_checkpoints": cp,  # type: ignore[dict-item]
+    }

@@ -39,7 +39,8 @@ SIGNATURES = pa.schema(
     [
         pa.field("conv_id", pa.string()),
         pa.field("digest", pa.uint64()),       # exact-content digest (M5)
-        pa.field("minhash", pa.list_(pa.uint64())),  # length K
+        pa.field("minhash", pa.list_(pa.uint64())),  # length K (list<>, not
+        # fixed_size_list: parquet can't round-trip null fixed-size lists)
         pa.field("simhash", pa.uint64()),
         pa.field("n_shingles", pa.int32()),
         pa.field("feature_text", pa.string()),  # truncated norm_text for scoring

@@ -1,0 +1,75 @@
+"""Conversation assembly: turns → one row per conversation (SURVEY.md O4, §3.1).
+
+The reference ingests one media object per row (``[ref: mc_ingest.py — unverified]``);
+transcripts arrive as MANY rows per entity and must be assembled with STABLE turn
+ordering — the per-row invariant of BASELINE.json:15: per-turn text equality under
+stable turn ordering, regardless of on-disk row order.
+
+Implementation: one hash shuffle on conv_id (grouped_partitions), then a fully
+vectorized per-bucket path: stable Arrow sort on (conv_id, turn_idx, ts) +
+TableGroupBy list-aggregation (order-of-appearance within groups) + binary_join.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from mediachain_indexer_ray.config import Config
+
+TURN_SEP = "\x1e"  # record separator between turn texts in doc_text
+
+
+def assemble_partition(t: pa.Table) -> pa.Table:
+    # Stable sort: Arrow sort_indices is a stable sort, so rows with equal
+    # (conv_id, turn_idx, ts) keep their input order — deterministic assembly
+    # requires the fixture/corpus to make (turn_idx, ts) unique per conv, and
+    # equal-key rows are at least never reordered run-to-run for a fixed input.
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("ts", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    gb = pa.TableGroupBy(t, "conv_id", use_threads=False)
+    agg = gb.aggregate(
+        [
+            ("text", "list"),
+            ("role", "list"),
+            ("ts", "min"),
+            ("ts", "max"),
+            ("turn_idx", "count"),
+        ]
+    )
+    doc_text = pc.binary_join(
+        agg.column("text_list").cast(pa.list_(pa.large_string())),
+        pa.scalar(TURN_SEP, pa.large_string()),
+    )
+    norm = pc.utf8_lower(doc_text)
+    norm = pc.replace_substring_regex(norm, r"[\s\x1e]+", " ")
+    norm = pc.utf8_trim_whitespace(norm)
+    return pa.table(
+        {
+            "conv_id": agg.column("conv_id"),
+            "n_turns": agg.column("turn_idx_count").cast(pa.int32()),
+            "doc_text": doc_text,
+            "norm_text": norm,
+            "roles": agg.column("role_list"),
+            "first_ts": agg.column("ts_min"),
+            "last_ts": agg.column("ts_max"),
+        }
+    )
+
+
+def assemble(ds: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
+    """transcripts Dataset → conversations Dataset (shuffle #1, key=conv_id)."""
+    from mediachain_indexer_ray.stages.partition import grouped_partitions
+
+    return grouped_partitions(
+        ds, "conv_id", assemble_partition, cfg.num_hash_partitions or None
+    )

@@ -1,0 +1,68 @@
+"""Signature computation: conversations → (digest, MinHash, SimHash, feature text).
+
+The transcript-native replacement for the reference's perceptual-hash step
+(``[ref: mc_models.py img_to_hsh / VectorsBaseline.img_to_terms — unverified]``,
+SURVEY.md M4/M5): a stateless, CPU-bound ``map_batches`` over zero-copy Arrow
+batches — the turns/sec workhorse of the whole pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from mediachain_indexer_ray.config import Config
+from mediachain_indexer_ray.functions.hashing import as_array, hash_strings
+from mediachain_indexer_ray.functions.minhash import minhash_signatures
+from mediachain_indexer_ray.functions.shingle import shingle_hashes
+from mediachain_indexer_ray.functions.simhash import simhash_signatures
+
+SIG_TEXT_MAX_CHARS = 16384  # signature input cap; features use cfg caps
+
+
+def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
+    conv_id = batch.column("conv_id")
+    doc_text = batch.column("doc_text")
+    norm = as_array(batch.column("norm_text"))
+
+    # exact-content digest over the RAW assembled text (M5): per-turn equality
+    digest = hash_strings(as_array(doc_text))
+
+    sig_text = as_array(pc.utf8_slice_codeunits(norm, 0, SIG_TEXT_MAX_CHARS))
+    sh, bnd = shingle_hashes(sig_text, cfg.shingle_k)
+    minh = minhash_signatures(sh, bnd, cfg.num_perm, cfg.seed, mode="oph")
+    simh = simhash_signatures(sh, bnd)
+    n_shingles = np.diff(bnd).astype(np.int32)
+
+    feature_text = pc.utf8_slice_codeunits(norm, 0, cfg.feature_text_max_chars)
+    return pa.table(
+        {
+            "conv_id": conv_id,
+            "digest": pa.array(digest),
+            # list<uint64> (not fixed_size_list): parquet cannot round-trip
+            # null fixed-size lists, and exact-dedup edge rows carry empties
+            "minhash": pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (batch.num_rows + 1) * cfg.num_perm, cfg.num_perm,
+                              dtype=np.int32)
+                ),
+                pa.array(minh.reshape(-1)),
+            ),
+            "simhash": pa.array(simh),
+            "n_shingles": pa.array(n_shingles),
+            "feature_text": feature_text.cast(pa.string()),
+        }
+    )
+
+
+def signatures(ds: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
+    return ds.map_batches(
+        compute_signatures_batch,
+        fn_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.batch_size_rows,
+    )

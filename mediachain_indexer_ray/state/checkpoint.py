@@ -1,0 +1,130 @@
+"""Per-stage Parquet checkpoints with lineage manifests (SURVEY.md §4).
+
+The reference has no checkpointing — a crashed ``dedupe_reindex`` restarts from
+zero, saved only by idempotent ES ``_id`` writes (``[ref: mc_ingest.py —
+unverified]``). BASELINE.json:6 mandates better: "every stage writes
+per-partition lineage manifests and counters so the job resumes from the last
+completed Parquet checkpoint."
+
+Mechanics: each stage directory holds ``part-*.parquet`` plus ``_manifest.json``
+recording {stage, input fingerprint, config hash, row count, counters, wall
+time}. A stage is SKIPPED (output re-read) iff its manifest's fingerprint
+matches the current (inputs + config). Writes go to a temp dir and are renamed
+into place, so a partially-written stage is never mistaken for a completed one.
+Stage fingerprints chain: a stage's fingerprint folds in its inputs' manifest
+hashes, so editing the corpus or config invalidates everything downstream —
+and ONLY downstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+MANIFEST = "_manifest.json"
+
+
+def _dir_fingerprint(path: str) -> str:
+    """Fingerprint of an input parquet file/dir: paths + sizes + mtimes."""
+    h = hashlib.sha256()
+    if os.path.isfile(path):
+        st = os.stat(path)
+        h.update(f"{path}:{st.st_size}:{int(st.st_mtime)}".encode())
+    else:
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f == MANIFEST or not f.endswith(".parquet"):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                h.update(f"{f}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:16]
+
+
+class CheckpointManager:
+    def __init__(self, work_dir: str, config_hash: str):
+        self.work_dir = work_dir
+        self.config_hash = config_hash
+        self._manifest_hashes: dict[str, str] = {}
+        self.events: list[dict] = []  # run log: hit/miss per stage
+        os.makedirs(work_dir, exist_ok=True)
+
+    # -- fingerprints --------------------------------------------------------
+    def input_fingerprint(self, *parts: str) -> str:
+        """Combine raw-input paths and/or upstream stage names into one
+        fingerprint (order-sensitive)."""
+        h = hashlib.sha256(self.config_hash.encode())
+        for p in parts:
+            if p in self._manifest_hashes:  # upstream stage
+                h.update(self._manifest_hashes[p].encode())
+            else:  # external path
+                h.update(_dir_fingerprint(p).encode())
+        return h.hexdigest()[:16]
+
+    def stage_dir(self, name: str) -> str:
+        return os.path.join(self.work_dir, name)
+
+    # -- run-or-skip ---------------------------------------------------------
+    def run(
+        self,
+        name: str,
+        fingerprint: str,
+        build: "callable[[], ray.data.Dataset]",
+        counters: dict | None = None,
+    ) -> ray.data.Dataset:
+        """Return the checkpointed Dataset for `name`, building + writing it
+        only if no valid checkpoint exists."""
+        out_dir = self.stage_dir(name)
+        mpath = os.path.join(out_dir, MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                man = json.load(f)
+            if man.get("fingerprint") == fingerprint and man.get("config_hash") == self.config_hash:
+                self._manifest_hashes[name] = man["manifest_hash"]
+                self.events.append({"stage": name, "action": "skip"})
+                return ray.data.read_parquet(out_dir)
+            shutil.rmtree(out_dir)
+
+        t0 = time.time()
+        ds = build()
+        tmp = out_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        ds.write_parquet(tmp)
+        rows = sum(
+            pq.read_metadata(os.path.join(tmp, f)).num_rows
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        man = {
+            "stage": name,
+            "fingerprint": fingerprint,
+            "config_hash": self.config_hash,
+            "rows": rows,
+            "wall_sec": round(time.time() - t0, 3),
+            "counters": counters or {},
+            "engine": "mediachain_indexer_ray",
+        }
+        man["manifest_hash"] = hashlib.sha256(
+            json.dumps(man, sort_keys=True).encode()
+        ).hexdigest()[:16]
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump(man, f, indent=1)
+        if os.path.exists(out_dir):  # pragma: no cover — concurrent writer
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+        self._manifest_hashes[name] = man["manifest_hash"]
+        self.events.append(
+            {"stage": name, "action": "run", "rows": rows, "wall_sec": man["wall_sec"]}
+        )
+        return ray.data.read_parquet(out_dir)
+
+    def manifest(self, name: str) -> dict:
+        with open(os.path.join(self.stage_dir(name), MANIFEST)) as f:
+            return json.load(f)

@@ -1,0 +1,47 @@
+"""Assembly invariant tests (SURVEY.md O4, BASELINE.json:15): per-turn text
+equality under stable turn ordering, independent of on-disk row order."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from mediachain_indexer_ray.config import Config
+from mediachain_indexer_ray.fixtures import FixtureSpec, make_corpus
+from mediachain_indexer_ray.stages.assemble import TURN_SEP, assemble
+
+
+def _expected_docs(tr: pa.Table) -> pd.Series:
+    df = tr.to_pandas().sort_values(["conv_id", "turn_idx", "ts"], kind="stable")
+    return df.groupby("conv_id")["text"].apply(lambda s: TURN_SEP.join(s))
+
+
+def test_per_turn_text_equality_under_shuffle():
+    tr, _ = make_corpus(FixtureSpec(n_base=40))
+    rng = np.random.default_rng(11)
+    shuffled = tr.take(rng.permutation(tr.num_rows))
+    ds = ray.data.from_arrow(shuffled)
+    got = assemble(ds, Config(num_hash_partitions=4)).to_pandas()
+    exp = _expected_docs(tr)
+    gg = got.set_index("conv_id")["doc_text"].sort_index()
+    assert (exp.sort_index() == gg).all()
+    # every turn text is preserved verbatim, in turn order
+    n_turns = got.set_index("conv_id")["n_turns"].sort_index()
+    exp_counts = tr.to_pandas().groupby("conv_id").size().sort_index()
+    assert (n_turns == exp_counts).all()
+
+
+def test_assembly_idempotent_across_row_orders():
+    tr, _ = make_corpus(FixtureSpec(n_base=25, seed=5))
+    rng = np.random.default_rng(0)
+    a = assemble(ray.data.from_arrow(tr), Config(num_hash_partitions=3)).to_pandas()
+    b = assemble(
+        ray.data.from_arrow(tr.take(rng.permutation(tr.num_rows))),
+        Config(num_hash_partitions=7),
+    ).to_pandas()
+    a = a.sort_values("conv_id").reset_index(drop=True)
+    b = b.sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["conv_id", "n_turns", "doc_text", "norm_text"]],
+        b[["conv_id", "n_turns", "doc_text", "norm_text"]],
+    )

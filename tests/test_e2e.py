@@ -1,0 +1,109 @@
+"""End-to-end conformance (SURVEY.md §5.3-5.5): F1 ≥ 0.99 on labeled pairs at
+shared blocking keys (BASELINE.json:2), closure vs networkx oracle, resume from
+checkpoint, and determinism across runs."""
+
+import json
+import os
+
+import networkx as nx
+import pandas as pd
+import pytest
+
+from mediachain_indexer_ray.config import Config
+from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
+from mediachain_indexer_ray.pipelines.evaluate import evaluate_clusters, fill_block_keys
+
+
+def test_f1_at_shared_blocking_keys(pipeline_outputs):
+    out, cfg, corpus = pipeline_outputs
+    labels = pd.read_parquet(f"{corpus}/labels.parquet")
+    m = evaluate_clusters(labels, out["clusters"], out["pairs"], out["signatures"])
+    assert m["n_eligible"] > 100
+    assert m["f1"] >= 0.99, m
+    assert m["precision"] >= 0.99, m
+    assert m["recall"] >= 0.99, m
+
+
+def test_clusters_match_networkx_on_accepted_edges(pipeline_outputs):
+    out, cfg, corpus = pipeline_outputs
+    edges = out["edges"].to_pandas()
+    clusters = out["clusters"].to_pandas()
+    g = nx.Graph()
+    g.add_edges_from(zip(edges["a"], edges["b"]))
+    oracle = {}
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for n in comp:
+            oracle[n] = m
+    got = dict(zip(clusters["conv_id"], clusters["cluster_id"]))
+    for node, lbl in oracle.items():
+        assert got[node] == lbl
+    # non-edge nodes are singletons
+    for node, lbl in got.items():
+        if node not in oracle:
+            assert lbl == node
+
+
+def test_fill_block_keys_schema(pipeline_outputs):
+    out, cfg, corpus = pipeline_outputs
+    labels = pd.read_parquet(f"{corpus}/labels.parquet")
+    filled = fill_block_keys(labels, out["pairs"], out["signatures"])
+    assert set(filled.columns) == {"a", "b", "is_dup", "block_key"}
+    assert (filled["block_key"] != "").sum() > 100
+
+
+def test_resume_skips_completed_stages(pipeline_outputs, corpus_dir):
+    out, cfg, corpus = pipeline_outputs
+    # second run over the same work dir: every stage must be a manifest hit
+    out2 = dedupe_pipeline(f"{corpus}/transcripts.parquet", cfg)
+    cp = out2["_checkpoints"]
+    actions = {e["stage"]: e["action"] for e in cp.events}
+    assert actions and all(a == "skip" for a in actions.values()), actions
+    # and the clusters are byte-identical
+    c1 = out["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    c2 = out2["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c1, c2)
+
+
+def test_partial_resume_runs_only_downstream(pipeline_outputs, corpus_dir, tmp_path):
+    """Simulated mid-job crash: stage k's checkpoint exists, later stages don't
+    → rerun skips ≤k and re-executes >k with identical results."""
+    import shutil
+
+    out, cfg, corpus = pipeline_outputs
+    work2 = str(tmp_path / "resume_work")
+    shutil.copytree(cfg.work_dir, work2)
+    # wipe everything after 'signatures'
+    for stage in ("exact_dedup", "pairs", "pairs_scored", "edges", "clusters"):
+        shutil.rmtree(os.path.join(work2, stage), ignore_errors=True)
+    cfg2 = Config(work_dir=work2)
+    out2 = dedupe_pipeline(f"{corpus}/transcripts.parquet", cfg2)
+    actions = {e["stage"]: e["action"] for e in out2["_checkpoints"].events}
+    assert actions["conversations"] == "skip"
+    assert actions["signatures"] == "skip"
+    assert actions["clusters"] == "run"
+    c1 = out["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    c2 = out2["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c1, c2)
+
+
+def test_manifests_record_lineage(pipeline_outputs):
+    out, cfg, corpus = pipeline_outputs
+    cp = out["_checkpoints"]
+    for stage in ("conversations", "signatures", "pairs", "clusters"):
+        man = cp.manifest(stage)
+        assert man["config_hash"] == cfg.content_hash()
+        assert man["rows"] > 0
+        assert "wall_sec" in man and "fingerprint" in man
+
+
+def test_determinism_fresh_workdir(pipeline_outputs, tmp_path):
+    out, cfg, corpus = pipeline_outputs
+    cfg2 = Config(work_dir=str(tmp_path / "det_work"))
+    out2 = dedupe_pipeline(f"{corpus}/transcripts.parquet", cfg2)
+    c1 = out["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    c2 = out2["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c1, c2)
+    s1 = out["pairs"].to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    s2 = out2["pairs"].to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s1, s2)

@@ -1,0 +1,210 @@
+"""Kernel unit tests (SURVEY.md §5.1): hashing, MinHash accuracy, SimHash
+monotonicity, Jaro-Winkler / Levenshtein vs reference implementations."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mediachain_indexer_ray.functions.hashing import (
+    hash_strings,
+    popcount64,
+    splitmix64,
+)
+from mediachain_indexer_ray.functions.minhash import (
+    estimate_jaccard,
+    minhash_signatures,
+)
+from mediachain_indexer_ray.functions.shingle import shingle_hashes
+from mediachain_indexer_ray.functions.simhash import (
+    hamming64,
+    simhash_cosine,
+    simhash_signatures,
+)
+from mediachain_indexer_ray.functions.strsim import (
+    jaro_winkler_batch,
+    levenshtein_batch,
+    ngram_jaccard_batch,
+)
+
+
+def test_popcount():
+    x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63], dtype=np.uint64)
+    assert popcount64(x).tolist() == [0, 1, 2, 64, 1]
+
+
+def test_hash_strings_stable_and_distinct():
+    a = hash_strings(["foo", "bar", "foo", ""])
+    assert a[0] == a[2]
+    assert a[0] != a[1]
+    b = hash_strings(["foo", "bar", "foo", ""])
+    assert np.array_equal(a, b)
+    assert len({int(x) for x in a[:2]}) == 2
+
+
+def test_splitmix_avalanche():
+    x = np.arange(1000, dtype=np.uint64)
+    h = splitmix64(x)
+    # consecutive inputs should produce ~32-bit hamming distance outputs
+    d = popcount64(np.bitwise_xor(h[1:], h[:-1]))
+    assert 24 < d.mean() < 40
+
+
+def _true_jaccard(s1: str, s2: str, k: int = 5) -> float:
+    a = {s1[i : i + k] for i in range(max(0, len(s1) - k + 1))}
+    b = {s2[i : i + k] for i in range(max(0, len(s2) - k + 1))}
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+@pytest.mark.parametrize("mode", ["oph", "kperm"])
+def test_minhash_estimates_jaccard(mode):
+    rng = np.random.default_rng(1)
+    words = ["".join(chr(97 + c) for c in rng.integers(0, 26, 6)) for _ in range(400)]
+    base = " ".join(words[:200])
+    texts = [base]
+    for frac in (0.02, 0.1, 0.3, 0.7):
+        n_swap = int(200 * frac)
+        w = list(words[:200])
+        for i in rng.choice(200, n_swap, replace=False):
+            w[i] = words[200 + int(rng.integers(0, 200))]
+        texts.append(" ".join(w))
+    arr = pa.array(texts)
+    sh, bnd = shingle_hashes(arr, 5)
+    sig = minhash_signatures(sh, bnd, 128, 42, mode)
+    for i in range(1, len(texts)):
+        est = estimate_jaccard(sig[0], sig[i])
+        true = _true_jaccard(texts[0], texts[i])
+        assert abs(est - true) < 0.15, (i, est, true)
+    assert estimate_jaccard(sig[0], sig[0]) == 1.0
+
+
+def test_minhash_invariant_under_shingle_order():
+    # same multiset of shingles, different order → identical signature
+    sh = np.array([5, 9, 1, 7, 3], dtype=np.uint64)
+    b = np.array([0, 5], dtype=np.int64)
+    s1 = minhash_signatures(sh, b, 64, 7, "oph")
+    s2 = minhash_signatures(sh[::-1].copy(), b, 64, 7, "oph")
+    assert np.array_equal(s1, s2)
+
+
+def test_simhash_monotone_in_similarity():
+    rng = np.random.default_rng(2)
+    base = "".join(chr(97 + c) for c in rng.integers(0, 26, 2000))
+    def mutate(s, n):
+        l = list(s)
+        for i in rng.choice(len(l), n, replace=False):
+            l[i] = chr(97 + int(rng.integers(0, 26)))
+        return "".join(l)
+    texts = [base, mutate(base, 20), mutate(base, 200), mutate(base, 1200)]
+    sh, bnd = shingle_hashes(pa.array(texts), 5)
+    sig = simhash_signatures(sh, bnd)
+    h = [int(hamming64(sig[:1], sig[i : i + 1])[0]) for i in range(4)]
+    assert h[0] == 0
+    assert h[1] <= h[2] <= h[3]
+    cos = simhash_cosine(np.repeat(sig[:1], 4), sig)
+    assert cos[0] == 1.0 and cos[1] >= cos[2] >= cos[3]
+
+
+def _jaro_ref(s1, s2):
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    w = max(max(len(s1), len(s2)) // 2 - 1, 0)
+    m2 = [False] * len(s2)
+    sa, sb = [], []
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - w), min(len(s2), i + w + 1)):
+            if not m2[j] and s2[j] == c:
+                m2[j] = True
+                sa.append(c)
+                break
+    sb = [c for j, c in enumerate(s2) if m2[j]]
+    m = len(sa)
+    if m == 0:
+        return 0.0
+    t = sum(x != y for x, y in zip(sa, sb)) / 2
+    return (m / len(s1) + m / len(s2) + (m - t) / m) / 3
+
+
+def _jw_ref(s1, s2, p=0.1):
+    j = _jaro_ref(s1, s2)
+    l = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            l += 1
+        else:
+            break
+    return j + l * p * (1 - j)
+
+
+def test_jaro_winkler_known_values():
+    a = pa.array(["MARTHA", "DIXON", "DWAYNE"])
+    b = pa.array(["MARHTA", "DICKSONX", "DUANE"])
+    got = jaro_winkler_batch(a, b)
+    assert got == pytest.approx([0.9611, 0.8133, 0.8400], abs=1e-3)
+
+
+def test_jaro_winkler_random_vs_reference():
+    rng = np.random.default_rng(3)
+    A, B = [], []
+    for _ in range(300):
+        la, lb = int(rng.integers(0, 20)), int(rng.integers(0, 20))
+        A.append("".join(chr(97 + c) for c in rng.integers(0, 5, la)))
+        B.append("".join(chr(97 + c) for c in rng.integers(0, 5, lb)))
+    got = jaro_winkler_batch(pa.array(A), pa.array(B))
+    exp = [_jw_ref(a, b) for a, b in zip(A, B)]
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def _lev_ref(s, t):
+    dp = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        prev, dp[0] = dp[0], i
+        for j, ct in enumerate(t, 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (cs != ct))
+            prev = cur
+    return dp[-1]
+
+
+def test_levenshtein_random_vs_reference():
+    rng = np.random.default_rng(4)
+    A, B = [], []
+    for _ in range(300):
+        s = "".join(chr(97 + c) for c in rng.integers(0, 4, int(rng.integers(0, 40))))
+        t = list(s)
+        for _ in range(int(rng.integers(0, 8))):
+            if not t:
+                t = ["a"]
+                continue
+            p = int(rng.integers(0, len(t)))
+            op = rng.random()
+            if op < 0.33:
+                t.insert(p, "b")
+            elif op < 0.66:
+                t.pop(p)
+            else:
+                t[p] = "c"
+        A.append(s)
+        B.append("".join(t))
+    got = levenshtein_batch(pa.array(A), pa.array(B))
+    exp = [_lev_ref(a, b) for a, b in zip(A, B)]
+    assert got.tolist() == exp
+
+
+def test_levenshtein_band_is_lower_bounded_outside():
+    # distance beyond the band: result must be ≥ |len diff| and > band radius
+    a = pa.array(["a" * 100])
+    b = pa.array(["b" * 100])
+    d = levenshtein_batch(a, b, max_chars=128, band_radius=8)
+    assert d[0] >= 9
+
+
+def test_ngram_jaccard_matches_set_formula():
+    A = ["hello world foo", "abcde", "", "xyz"]
+    B = ["hello world bar", "abcde", "", "abc"]
+    got = ngram_jaccard_batch(pa.array(A), pa.array(B), k=3)
+    for g, a, b in zip(got, A, B):
+        assert g == pytest.approx(_true_jaccard(a, b, 3), abs=1e-9)
