@@ -1,44 +1,171 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-dedupe pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator family
+from SURVEY.md §2 (plus the training-data operators: dedup variants, ANN,
+text analysis, multimodal plumbing). SQL-expressible ops carry DuckDB oracles;
+MinHash/LSH/closure/model ops are rows-only per the contract docstring.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# flagship: transcripts derived deterministically from the events table
+# (conv_id=user, turns ordered by ts — same shape as BASELINE.json:15's input)
+# ---------------------------------------------------------------------------
+
+def _events_as_transcripts(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def _f(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        text = pc.binary_join_element_wise(
+            b.column("event_type").cast(pa.string()),
+            b.column("props").cast(pa.string()),
+            " ",
+        )
+        return pa.table(
+            {
+                "conv_id": pc.binary_join_element_wise(
+                    pa.array(["u"] * n, pa.string()),
+                    b.column("user_id").cast(pa.string()),
+                    "",
+                ),
+                "turn_idx": pa.array(np.zeros(n, np.int32)),  # order falls to ts
+                "role": b.column("event_type").cast(pa.string()),
+                "text": text,
+                "tool": pa.array([""] * n, pa.string()),
+                "ts": b.column("ts"),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _flagship(sf_dir: str):
+    """Full dedupe over a transcript-shaped projection of `events`: returns
+    clusters (conv_id, cluster_id)."""
+    import pyarrow.parquet as pq
+
+    from mediachain_indexer_ray.config import Config
+    from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tdir = f"/tmp/mcray_entry_{tag}"
+    tpath = f"{tdir}/transcripts"
+    if not os.path.exists(tpath):
+        _events_as_transcripts(sf_dir).write_parquet(tpath)
+    cfg = Config(work_dir=f"{tdir}/work")
+    out = dedupe_pipeline(tpath, cfg)
+    return out["clusters"]
+
+
+def _flagship_fixture(sf_dir: str):
+    """Flagship on the labeled synthetic corpus (FIXTURES.md), scaled by sf.
+    Rows-only check — demonstrates the full LSH+scoring+closure path."""
+    from mediachain_indexer_ray.config import Config
+    from mediachain_indexer_ray.fixtures import FixtureSpec, write_corpus
+    from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
+
+    sf = 0.01 if "sf0.01" in sf_dir else (0.001 if "sf0.001" in sf_dir else 0.1)
+    n_base = max(60, int(2000 * sf))
+    spec = FixtureSpec(n_base=n_base, viral_fanout=25)
+    tag = f"{n_base}_{spec.seed}"
+    d = f"/tmp/mcray_fixture_{tag}"
+    if not os.path.exists(f"{d}/transcripts.parquet"):
+        write_corpus(spec, d, shuffle_rows=True)
+    cfg = Config(work_dir=f"{d}/work")
+    out = dedupe_pipeline(f"{d}/transcripts.parquet", cfg)
+    return out["clusters"]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    return _flagship("/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# queries / oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mediachain_indexer_ray.pipelines import docdedup, multimodal, queries as Q
+    from mediachain_indexer_ray.pipelines import similarity as sim
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _docs(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    return {
+        # relational / aggregation / join / sort / set ops (SQL oracles)
+        "events_by_type": Q.events_by_type,
+        "assemble_events": Q.assemble_events,
+        "filter_project_lineitem": Q.filter_project_lineitem,
+        "pricing_summary": Q.pricing_summary,
+        "top_orders": Q.top_orders,
+        "customer_order_revenue": Q.customer_order_revenue,
+        "nation_region_join": Q.nation_region_join,
+        "union_sources": Q.union_sources,
+        "distinct_users": Q.distinct_users,
+        "exact_dedup_documents": Q.exact_dedup_documents,
+        "sessionize_events": Q.sessionize_events,
+        # text analysis (SQL oracles)
+        "token_stats": Q.token_stats,
+        "text_quality": Q.text_quality,
+        "top_tokens": Q.top_tokens,
+        # similarity search (SQL oracles)
+        "ann_cosine_topk": sim.ann_cosine_topk,
+        "embedding_near_dup": sim.embedding_near_dup,
+        # rows-only: signature/LSH/closure/model operators
+        "lang_id": Q.lang_id,
+        "fingerprint_documents": Q.fingerprint_documents,
+        "minhash_dedup_documents": lambda d: docdedup.minhash_lsh_pairs(_docs(d)),
+        "simhash_documents": lambda d: docdedup.simhash_table(_docs(d)),
+        "ngram_dedup_documents": lambda d: docdedup.ngram_jaccard_dedup(_docs(d)),
+        "media_features": lambda d: multimodal.extract_media_features(
+            multimodal.documents_as_media(d)
+        ),
+        "dedupe_transcripts": _flagship_fixture,
+        "dedupe_events_flagship": _flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mediachain_indexer_ray.pipelines import queries as Q
+    from mediachain_indexer_ray.pipelines import similarity as sim
+
+    return {
+        "events_by_type": Q.EVENTS_BY_TYPE_SQL,
+        "assemble_events": Q.ASSEMBLE_EVENTS_SQL,
+        "filter_project_lineitem": Q.FILTER_PROJECT_LINEITEM_SQL,
+        "pricing_summary": Q.PRICING_SUMMARY_SQL,
+        "top_orders": Q.TOP_ORDERS_SQL,
+        "customer_order_revenue": Q.CUSTOMER_ORDER_REVENUE_SQL,
+        "nation_region_join": Q.NATION_REGION_JOIN_SQL,
+        "union_sources": Q.UNION_SOURCES_SQL,
+        "distinct_users": Q.DISTINCT_USERS_SQL,
+        "exact_dedup_documents": Q.EXACT_DEDUP_DOCUMENTS_SQL,
+        "sessionize_events": Q.SESSIONIZE_EVENTS_SQL,
+        "token_stats": Q.TOKEN_STATS_SQL,
+        "text_quality": Q.TEXT_QUALITY_SQL,
+        "top_tokens": Q.TOP_TOKENS_SQL,
+        "ann_cosine_topk": sim.ANN_COSINE_TOPK_SQL,
+        "embedding_near_dup": sim.EMBEDDING_NEAR_DUP_SQL,
+    }

@@ -1,0 +1,540 @@
+"""Driver-contract queries: each SURVEY.md §2 operator family exercised over the
+driver's testdata tables (``/root/testdata/sf*/``), with a DuckDB oracle where
+SQL-expressible (see ``__ray_entry__.py``). Column names/types are aligned with
+the oracle SQL exactly — the driver hash-compares values after sorting columns
+by name.
+
+Float discipline: aggregates that the oracle computes too are integerized
+(cents via ``FLOOR(x*100 + 0.5)``) so IEEE summation order can't flip a hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from mediachain_indexer_ray.config import Config
+from mediachain_indexer_ray.functions.textstats import (
+    char_class_counts,
+    fingerprints,
+    language_id,
+    token_counts,
+)
+from mediachain_indexer_ray.stages.partition import grouped_partitions
+
+_PARTS = 8  # sf0.01-scale bucket count for oracle queries
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# A4: grouped aggregation (events)
+# ---------------------------------------------------------------------------
+
+def events_by_type(sf_dir: str):
+    """Partial aggregation inside map_batches (combiner) + small final groupby
+    — the scale-correct grouped count (SURVEY.md A4/A5 pre-aggregation)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("value").to_numpy() * 100 + 0.5).astype(np.int64)
+        t = b.set_column(b.schema.get_field_index("value"), "cents", pa.array(cents))
+        gb = pa.TableGroupBy(t, "event_type", use_threads=False)
+        agg = gb.aggregate([("cents", "sum"), ("event_type", "count")])
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "part_n": agg.column("event_type_count").cast(pa.int64()),
+                "part_cents": agg.column("cents_sum"),
+            }
+        )
+
+    part = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = part.groupby("event_type").sum(["part_n", "part_cents"])
+    return out.rename_columns(
+        {"sum(part_n)": "n_events", "sum(part_cents)": "sum_value_cents"}
+    )
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# O4 analog: groupby + stable-order assembly (events as turns)
+# ---------------------------------------------------------------------------
+
+def assemble_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        gb = pa.TableGroupBy(t, "user_id", use_threads=False)
+        agg = gb.aggregate([("event_type", "list"), ("event_id", "count")])
+        seq = pc.binary_join(agg.column("event_type_list"), "|")
+        return pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "n_events": agg.column("event_id_count").cast(pa.int64()),
+                "seq": seq,
+            }
+        )
+
+    return grouped_partitions(ds, "user_id", _fn, _PARTS)
+
+
+ASSEMBLE_EVENTS_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS seq
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M8/S1: filter + projection pushed to the read
+# ---------------------------------------------------------------------------
+
+def filter_project_lineitem(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
+
+    def _f(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(b.column("l_quantity"), 30.0),
+            pc.less(b.column("l_discount"), 0.05),
+        )
+        t = b.filter(mask)
+        qty = t.column("l_quantity").cast(pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "quantity": qty})
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FILTER_PROJECT_LINEITEM_SQL = """
+SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS quantity
+FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A4: TPC-H Q1-style pricing summary (multi-key grouped aggregates)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1998-09-02T00:00:00")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        mask = pc.less_equal(b.column("l_shipdate"), pa.scalar(cutoff.astype("datetime64[us]")))
+        t = b.filter(mask)
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        base_cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        disc_cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pa.array(qty),
+                "base_cents": pa.array(base_cents),
+                "disc_cents": pa.array(disc_cents),
+            }
+        )
+        gb = pa.TableGroupBy(tt, ["l_returnflag", "l_linestatus"], use_threads=False)
+        agg = gb.aggregate([("qty", "sum"), ("base_cents", "sum"),
+                            ("disc_cents", "sum"), ("qty", "count")])
+        return pa.table(
+            {
+                "l_returnflag": agg.column("l_returnflag"),
+                "l_linestatus": agg.column("l_linestatus"),
+                "p_qty": agg.column("qty_sum"),
+                "p_base": agg.column("base_cents_sum"),
+                "p_disc": agg.column("disc_cents_sum"),
+                "p_cnt": agg.column("qty_count").cast(pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _final(t: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"], use_threads=False)
+        agg = gb.aggregate([("p_qty", "sum"), ("p_base", "sum"),
+                            ("p_disc", "sum"), ("p_cnt", "sum")])
+        return pa.table(
+            {
+                "l_returnflag": agg.column("l_returnflag"),
+                "l_linestatus": agg.column("l_linestatus"),
+                "sum_qty": agg.column("p_qty_sum"),
+                "sum_base_price_cents": agg.column("p_base_sum"),
+                "sum_disc_price_cents": agg.column("p_disc_sum"),
+                "count_order": agg.column("p_cnt_sum"),
+            }
+        )
+
+    return grouped_partitions(part, "l_returnflag", _final, 4)
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# O2: global top-k
+# ---------------------------------------------------------------------------
+
+def top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _c(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "totalprice_cents": pa.array(cents)}
+        )
+
+    return (
+        ds.map_batches(_c, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["totalprice_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_cents
+FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2: hash join + grouped aggregate
+# ---------------------------------------------------------------------------
+
+def customer_order_revenue(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_custkey": b.column("o_custkey"), "cents": pa.array(cents)})
+
+    o = orders.map_batches(_cents, batch_format="pyarrow", zero_copy_batch=True)
+    j = o.join(cust, join_type="inner", num_partitions=_PARTS,
+               on=("o_custkey",), right_on=("c_custkey",))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(
+            b.select(["c_mktsegment", "cents"]), "c_mktsegment", use_threads=False
+        )
+        agg = gb.aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table(
+            {
+                "mktsegment": agg.column("c_mktsegment"),
+                "p_cents": agg.column("cents_sum"),
+                "p_n": agg.column("cents_count").cast(pa.int64()),
+            }
+        )
+
+    part = j.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("mktsegment").sum(["p_cents", "p_n"]).rename_columns(
+        {"sum(p_cents)": "revenue_cents", "sum(p_n)": "n_orders"}
+    )
+
+
+CUSTOMER_ORDER_REVENUE_SQL = """
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2 broadcast variant: small-side lookup shipped once via ray.put
+# ---------------------------------------------------------------------------
+
+def nation_region_join(sf_dir: str):
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    lookup_ref = ray.put(dict(zip(
+        region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()
+    )))
+
+    def _join(b: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        keys = b.column("n_regionkey").to_numpy()
+        names = pa.array([lut[int(k)] for k in keys], pa.string())
+        return pa.table({"r_name": names})
+
+    mapped = nation.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
+    return mapped.groupby("r_name").count().rename_columns({"count()": "n_nations"})
+
+
+NATION_REGION_JOIN_SQL = """
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# D3: union of sources
+# ---------------------------------------------------------------------------
+
+def union_sources(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    a = docs.filter(expr="source == 'src0'")
+    b = docs.filter(expr="source == 'src1'")
+    return a.union(b)
+
+
+UNION_SOURCES_SQL = """
+SELECT doc_id, source FROM documents WHERE source = 'src0'
+UNION ALL
+SELECT doc_id, source FROM documents WHERE source = 'src1'
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1: distinct / exact dedup
+# ---------------------------------------------------------------------------
+
+def distinct_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    return ds.groupby("user_id").count().select_columns(["user_id"])
+
+
+DISTINCT_USERS_SQL = "SELECT DISTINCT user_id FROM events"
+
+
+def exact_dedup_documents(sf_dir: str):
+    """Exact dedup by content (SURVEY.md D1/M5): group by text, keep min id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(t, "text", use_threads=False)
+        agg = gb.aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id_min"),
+                "n_copies": agg.column("doc_id_count").cast(pa.int64()),
+            }
+        )
+
+    return grouped_partitions(ds, "text", _fn, _PARTS)
+
+
+EXACT_DEDUP_DOCUMENTS_SQL = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis: token counts / quality (SQL oracle), lang-id (rows-only)
+# ---------------------------------------------------------------------------
+
+def token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(b: pa.Table) -> pa.Table:
+        text = b.column("text").combine_chunks()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(token_counts(text)),
+                "n_chars": pa.array(
+                    pc.utf8_length(text).cast(pa.int64())
+                ),
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def text_quality(sf_dir: str):
+    """Quality-scoring features: punctuation count, letter count, token count
+    (integer features; ratio thresholds are a trivial map over these)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(b: pa.Table) -> pa.Table:
+        text = b.column("text").combine_chunks()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(token_counts(text)),
+                "n_punct": pa.array(char_class_counts(text, b".,!?;:")),
+                "n_alpha": pa.array(
+                    char_class_counts(text, bytes(range(97, 123)) + bytes(range(65, 91)))
+                ),
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha
+FROM documents
+"""
+
+
+def lang_id(sf_dir: str):
+    """Heuristic language ID (rows-only oracle: the heuristic itself is the
+    spec; deterministic given input)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang_pred": pa.array(language_id(b.column("text")), pa.string()),
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprint_documents(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only; uint64 digests)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(b: pa.Table) -> pa.Table:
+        fp = fingerprints(b.column("text").combine_chunks())
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "fingerprint": pa.array(fp.astype(np.int64)),  # int64 for hashing
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# wordcount with combiner + global top-k
+# ---------------------------------------------------------------------------
+
+def top_tokens(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(b.column("text").combine_chunks())
+        toks = pc.split_pattern_regex(lower, "[^a-z]+")
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.table({"token": flat})
+        gb = pa.TableGroupBy(t, "token", use_threads=False)
+        agg = gb.aggregate([("token", "count")])
+        return pa.table(
+            {
+                "token": agg.column("token"),
+                "part_n": agg.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = part.groupby("token").sum(["part_n"]).rename_columns({"sum(part_n)": "n"})
+    return total.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
+TOP_TOKENS_SQL = """
+SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t FROM documents)
+GROUP BY t ORDER BY n DESC, token LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed/sessionized aggregate (streaming-style custom operator)
+# ---------------------------------------------------------------------------
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _fn(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")],
+        )
+        t = t.take(idx)
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        new_user = np.ones(n, bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.ones(n, bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_sess = (new_user | gap).astype(np.int64)
+        tt = pa.table({"user_id": t.column("user_id"), "new_sess": pa.array(new_sess)})
+        gb = pa.TableGroupBy(tt, "user_id", use_threads=False)
+        agg = gb.aggregate([("new_sess", "sum")])
+        return pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "n_sessions": agg.column("new_sess_sum"),
+            }
+        )
+
+    return grouped_partitions(ds, "user_id", _fn, _PARTS)
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
+"""

