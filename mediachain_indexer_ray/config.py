@@ -25,6 +25,8 @@ class Config:
                                          # stored `text` is NEVER mutated
 
     # ---- MinHash / SimHash signatures (SURVEY.md M4) -----------------------
+    sig_text_max_chars: int = 8192   # signature input cap (norm text)
+    shingle_sample_mod: int = 2      # content-defined shingle sampling (1=off)
     num_perm: int = 128         # K minhash permutations
     num_bands: int = 32         # B bands ...
     band_rows: int = 4          # ... of R rows each; B*R must equal num_perm

@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from mediachain_indexer_ray.config import Config
-from mediachain_indexer_ray.functions.minhash import minhash_signatures
+from mediachain_indexer_ray.functions.minhash import minhash_signatures, sample_shingles
 from mediachain_indexer_ray.functions.shingle import shingle_hashes
 from mediachain_indexer_ray.functions.simhash import simhash_signatures
 from mediachain_indexer_ray.functions.strsim import ngram_jaccard_batch
@@ -33,6 +33,7 @@ def _doc_signatures(ds: ray.data.Dataset, cfg: Config, id_col: str, text_col: st
         if isinstance(norm, pa.ChunkedArray):  # pragma: no cover
             norm = norm.combine_chunks()
         sh, bnd = shingle_hashes(norm, cfg.shingle_k)
+        sh, bnd = sample_shingles(sh, bnd, cfg.shingle_sample_mod)
         minh = minhash_signatures(sh, bnd, cfg.num_perm, cfg.seed, "oph")
         simh = simhash_signatures(sh, bnd)
         ids = pc.cast(b.column(id_col), pa.string())

@@ -123,11 +123,16 @@ def attach_pair_texts(
 
 
 def score_pairs(pairs_with_text: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
+    from mediachain_indexer_ray.config import default_parallelism
+
+    # actor pool sized to the cluster: up to ~1 scorer per core (the pool
+    # autoscales down when the pair stream is thin)
+    hi = max(cfg.scorer_concurrency, default_parallelism() // 2)
     return pairs_with_text.map_batches(
         PairScorer,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.pair_batch_size,
-        concurrency=(1, max(cfg.scorer_concurrency, 2)),
+        concurrency=(1, hi),
         num_cpus=1,
     )

@@ -16,11 +16,10 @@ import ray.data
 
 from mediachain_indexer_ray.config import Config
 from mediachain_indexer_ray.functions.hashing import as_array, hash_strings
-from mediachain_indexer_ray.functions.minhash import minhash_signatures
+from mediachain_indexer_ray.functions.minhash import minhash_signatures, sample_shingles
 from mediachain_indexer_ray.functions.shingle import shingle_hashes
 from mediachain_indexer_ray.functions.simhash import simhash_signatures
 
-SIG_TEXT_MAX_CHARS = 16384  # signature input cap; features use cfg caps
 
 
 def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
@@ -31,8 +30,9 @@ def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     # exact-content digest over the RAW assembled text (M5): per-turn equality
     digest = hash_strings(as_array(doc_text))
 
-    sig_text = as_array(pc.utf8_slice_codeunits(norm, 0, SIG_TEXT_MAX_CHARS))
+    sig_text = as_array(pc.utf8_slice_codeunits(norm, 0, cfg.sig_text_max_chars))
     sh, bnd = shingle_hashes(sig_text, cfg.shingle_k)
+    sh, bnd = sample_shingles(sh, bnd, cfg.shingle_sample_mod)
     minh = minhash_signatures(sh, bnd, cfg.num_perm, cfg.seed, mode="oph")
     simh = simhash_signatures(sh, bnd)
     n_shingles = np.diff(bnd).astype(np.int32)

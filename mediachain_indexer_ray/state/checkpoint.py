@@ -29,7 +29,16 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from mediachain_indexer_ray.config import default_parallelism
+
 MANIFEST = "_manifest.json"
+
+
+def read_checkpoint(path: str) -> ray.data.Dataset:
+    """Read a stage checkpoint with enough blocks to keep every core busy —
+    a checkpoint written as few files must not collapse downstream stages to
+    single-task execution (row groups are written small for splitability)."""
+    return ray.data.read_parquet(path, override_num_blocks=default_parallelism())
 
 
 def _dir_fingerprint(path: str) -> str:
@@ -89,14 +98,16 @@ class CheckpointManager:
             if man.get("fingerprint") == fingerprint and man.get("config_hash") == self.config_hash:
                 self._manifest_hashes[name] = man["manifest_hash"]
                 self.events.append({"stage": name, "action": "skip"})
-                return ray.data.read_parquet(out_dir)
+                return read_checkpoint(out_dir)
             shutil.rmtree(out_dir)
 
         t0 = time.time()
         ds = build()
         tmp = out_dir + f".tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp, exist_ok=True)
-        ds.write_parquet(tmp)
+        # bounded file sizes so re-reads can split across many tasks and a
+        # resumed/partitioned consumer never faces one giant file
+        ds.write_parquet(tmp, max_rows_per_file=16384)
         rows = sum(
             pq.read_metadata(os.path.join(tmp, f)).num_rows
             for f in os.listdir(tmp)
@@ -123,7 +134,7 @@ class CheckpointManager:
         self.events.append(
             {"stage": name, "action": "run", "rows": rows, "wall_sec": man["wall_sec"]}
         )
-        return ray.data.read_parquet(out_dir)
+        return read_checkpoint(out_dir)
 
     def manifest(self, name: str) -> dict:
         with open(os.path.join(self.stage_dir(name), MANIFEST)) as f:
