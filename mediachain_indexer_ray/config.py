@@ -43,6 +43,15 @@ class Config:
     lev_max_chars: int = 192    # banded-Levenshtein feature truncation
     jw_max_chars: int = 128     # Jaro-Winkler feature truncation
     lev_band_radius: int = 48   # |i-j| band for the Levenshtein DP
+    # decision cascade: char-5-gram Jaccard ≥ fast_accept ⇒ duplicate (near-dup
+    # conversations with ≤10% char edits sit ≥ ~0.4; unrelated same-topic
+    # negatives ≤ ~0.35 — see FIXTURES.md §A2); Jaccard < fast_reject AND
+    # cosine < fast_reject_cosine ⇒ not-duplicate. Only the borderline band
+    # pays for the Jaro-Winkler / Levenshtein DP kernels.
+    fast_accept_jaccard: float = 0.62
+    fast_reject_jaccard: float = 0.15
+    fast_reject_cosine: float = 0.85
+    scorer_sample_mod: int = 4  # shingle sampling for the scorer's Jaccard
     w_jaccard: float = 0.35     # n-gram Jaccard weight
     w_cosine: float = 0.15      # SimHash-cosine weight
     w_jw: float = 0.15          # Jaro-Winkler weight
@@ -50,7 +59,12 @@ class Config:
     tau: float = 0.62           # accept threshold on the weighted score
 
     # ---- execution sizing (SURVEY.md §4) -----------------------------------
-    batch_size_rows: int = 4096      # map_batches batch size for row-level stages
+    batch_size_rows: int = 4096      # map_batches batch size for slim rows
+    sig_batch_size: int = 128        # signature stage: rows are FAT (~tens of
+                                     # KB of doc text) — a batch_size larger
+                                     # than the incoming block size makes Ray
+                                     # coalesce blocks into one task and
+                                     # serializes the stage; keep it small
     pair_batch_size: int = 2048      # scorer actor-pool batch size
     scorer_concurrency: int = 4      # scorer actor pool size (min; scales with CPUs)
     num_hash_partitions: int = 0     # 0 → derive from cluster CPUs

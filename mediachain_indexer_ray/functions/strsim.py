@@ -177,16 +177,23 @@ def _lengths(arr) -> np.ndarray:
     return (ends - starts).astype(np.float64)
 
 
-def ngram_jaccard_batch(a_arr, b_arr, k: int = 5) -> np.ndarray:
+def ngram_jaccard_batch(a_arr, b_arr, k: int = 5, sample_mod: int = 1) -> np.ndarray:
     """Exact k-gram Jaccard for aligned pairs via sorted shingle-hash set
     intersection (SURVEY.md F2). Vectorized: one sort over the concatenated
-    shingle streams of both sides."""
+    shingle streams of both sides. ``sample_mod > 1`` applies content-defined
+    shingle sampling (functions.minhash.sample_shingles) to BOTH sides — an
+    unbiased, ~mod× cheaper estimate."""
     if not isinstance(a_arr, (pa.Array, pa.ChunkedArray)):
         a_arr = pa.array(list(a_arr), type=pa.string())
     if not isinstance(b_arr, (pa.Array, pa.ChunkedArray)):
         b_arr = pa.array(list(b_arr), type=pa.string())
     ha, ba = shingle_hashes(a_arr, k)
     hb, bb = shingle_hashes(b_arr, k)
+    if sample_mod > 1:
+        from mediachain_indexer_ray.functions.minhash import sample_shingles
+
+        ha, ba = sample_shingles(ha, ba, sample_mod)
+        hb, bb = sample_shingles(hb, bb, sample_mod)
     n = len(ba) - 1
     if n >= (1 << 16):
         raise ValueError("ngram_jaccard_batch: batch too large for 48-bit packing")

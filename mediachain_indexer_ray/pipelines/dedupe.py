@@ -78,11 +78,15 @@ def dedupe_pipeline(
     )
 
     fp_pairs = cp.input_fingerprint("exact_dedup", "pairs")
+    n_reps = cp.manifest("exact_dedup")["rows"]  # broadcast-vs-shuffle choice
     scored = cp.run(
         "pairs_scored",
         fp_pairs,
         lambda: score_pairs(
-            attach_pair_texts(simhash_prefilter(pairs, cfg), reps, cfg, P), cfg
+            attach_pair_texts(
+                simhash_prefilter(pairs, cfg), reps, cfg, P, reps_rows=n_reps
+            ),
+            cfg,
         ),
     )
 

@@ -53,7 +53,7 @@ def _doc_signatures(ds: ray.data.Dataset, cfg: Config, id_col: str, text_col: st
         )
 
     return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
-                          batch_size=cfg.batch_size_rows)
+                          batch_size=cfg.sig_batch_size)
 
 
 def minhash_lsh_pairs(

@@ -49,30 +49,42 @@ class PairScorer:
             return _empty_scored()
         ta = batch.column("text_a").combine_chunks()
         tb = batch.column("text_b").combine_chunks()
-        jac = ngram_jaccard_batch(ta, tb, cfg.shingle_k)
+        # Decision cascade (the throughput heart of the reranker):
+        #   1. sampled-shingle Jaccard + SimHash-cosine — cheap, vectorized;
+        #   2. fast-accept (jac ≥ fast_accept_jaccard: unreachable by
+        #      different-content conversations) / fast-reject (jac < lo AND
+        #      cos < lo: unreachable by ≤10%-edit near-dups);
+        #   3. ONLY the borderline band pays for the Jaro-Winkler +
+        #      banded-Levenshtein DP kernels and the full weighted score.
+        # Hot viral blocks are dominated by clear accepts/rejects, so the DP
+        # work is O(borderline), not O(pairs).
+        jac = ngram_jaccard_batch(ta, tb, cfg.shingle_k,
+                                  sample_mod=cfg.scorer_sample_mod)
         cos = simhash_cosine(
             batch.column("simhash_a").to_numpy(), batch.column("simhash_b").to_numpy()
         )
-        jw = jaro_winkler_batch(ta, tb, cfg.jw_max_chars)
+        w_jac, w_cos, w_jw, w_lev = self.w
+        fast_acc = jac >= cfg.fast_accept_jaccard
+        fast_rej = (jac < cfg.fast_reject_jaccard) & (cos < cfg.fast_reject_cosine)
+        mid = ~(fast_acc | fast_rej)
 
-        # Levenshtein gate: only pairs whose partial score could cross τ either
-        # way need the DP. With w = (wj, wc, wjw, wl):
-        #   partial = wj*jac + wc*cos + wjw*jw;  score ∈ [partial, partial+wl]
-        partial = self.w[0] * jac + self.w[1] * cos + self.w[2] * jw
-        need_lev = (partial < self.tau) & (partial + self.w[3] >= self.tau)
+        jw = np.zeros(n, np.float64)
         lev = np.zeros(n, np.float64)
-        if need_lev.any():
-            mask = pa.array(need_lev)
-            lev_sub = levenshtein_ratio_batch(
-                ta.filter(mask), tb.filter(mask), cfg.lev_max_chars, cfg.lev_band_radius
+        if mid.any():
+            m = pa.array(mid)
+            tam, tbm = ta.filter(m), tb.filter(m)
+            jw[mid] = jaro_winkler_batch(tam, tbm, cfg.jw_max_chars)
+            lev[mid] = levenshtein_ratio_batch(
+                tam, tbm, cfg.lev_max_chars, cfg.lev_band_radius
             )
-            lev[need_lev] = lev_sub
-        # pairs already above τ without lev: credit lev at its jaccard proxy so
-        # the reported score is monotone (accepted flag is what matters).
-        lev[~need_lev & (partial >= self.tau)] = jac[~need_lev & (partial >= self.tau)]
+        # monotone reported score on the fast paths (decision = accepted flag):
+        # accepts land in [τ, 1], rejects keep their (low) cheap-feature score.
+        jw[fast_acc] = 1.0
+        lev[fast_acc] = jac[fast_acc]
 
-        score = partial + self.w[3] * lev
-        accepted = score >= self.tau
+        score = w_jac * jac + w_cos * cos + w_jw * jw + w_lev * lev
+        score[fast_acc] = np.maximum(score[fast_acc], self.tau)
+        accepted = fast_acc | (mid & (score >= self.tau))
         return pa.table(
             {
                 "a": batch.column("a"),
@@ -104,14 +116,45 @@ def _empty_scored() -> pa.Table:
     )
 
 
+BROADCAST_MAX_ROWS = 200_000  # feature-text side ≲ 400MB → broadcast
+
+
 def attach_pair_texts(
-    pairs: ray.data.Dataset, reps: ray.data.Dataset, cfg: Config, num_partitions: int
+    pairs: ray.data.Dataset,
+    reps: ray.data.Dataset,
+    cfg: Config,
+    num_partitions: int,
+    reps_rows: int | None = None,
 ) -> ray.data.Dataset:
-    """Hash-join the pair table back to the representatives' feature text for
-    both endpoints (SURVEY.md J2 — the reference's mget by id). The pair table
-    carries only ids + 8-byte simhashes through the shuffles; text payloads are
-    joined in once, here."""
+    """Attach the representatives' feature text to both pair endpoints
+    (SURVEY.md J2 — the reference's mget by id). Hybrid strategy:
+
+    * small side (≤ BROADCAST_MAX_ROWS, known from the upstream manifest):
+      ``ray.put`` the id→text map ONCE and look it up inside ``map_batches`` —
+      no shuffle at all (the task brief's broadcast-small-sides rule).
+    * large side: two hash-shuffle ``Dataset.join``s, partitioned to the
+      cluster — the 100-TB path.
+
+    The pair table carries only ids + 8-byte simhashes through the earlier
+    shuffles either way; text payloads attach exactly once, here."""
     side = reps.select_columns(["conv_id", "feature_text"])
+    if reps_rows is not None and reps_rows <= BROADCAST_MAX_ROWS:
+        tab = pa.concat_tables(
+            ray.get(side.to_arrow_refs())  # small by precondition
+        )
+        lut = dict(
+            zip(tab.column("conv_id").to_pylist(), tab.column("feature_text").to_pylist())
+        )
+        lut_ref = ray.put(lut)
+
+        def _attach(b: pa.Table) -> pa.Table:
+            m = ray.get(lut_ref)
+            ta = pa.array([m.get(x, "") for x in b.column("a").to_pylist()], pa.string())
+            tb = pa.array([m.get(x, "") for x in b.column("b").to_pylist()], pa.string())
+            return b.append_column("text_a", ta).append_column("text_b", tb)
+
+        return pairs.map_batches(_attach, batch_format="pyarrow", zero_copy_batch=True)
+
     a_side = side.rename_columns({"conv_id": "a", "feature_text": "text_a"})
     b_side = side.rename_columns({"conv_id": "b", "feature_text": "text_b"})
     out = pairs.join(

@@ -64,5 +64,5 @@ def signatures(ds: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
         fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=cfg.batch_size_rows,
+        batch_size=cfg.sig_batch_size,
     )
