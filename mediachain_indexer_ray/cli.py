@@ -1,0 +1,140 @@
+"""CLI entry points (SURVEY.md X2/X3) — the analog of the reference's
+``setup_main`` dispatch + ``mediachain-indexer-{ingest,models,eval}`` console
+scripts (``[ref: mc_generic.py setup_main, setup.py — unverified]``).
+
+    python -m mediachain_indexer_ray.cli ingest  --input T.parquet --work W
+    python -m mediachain_indexer_ray.cli dedupe  --input T.parquet --work W
+    python -m mediachain_indexer_ray.cli eval    --input T.parquet --labels L.parquet --work W
+    python -m mediachain_indexer_ray.cli fixture --out DIR --n-base 200
+
+Config comes from CLI flags layered over ``MCRAY_*`` env vars (12-factor) over
+defaults; the effective config is printed at startup like the reference does.
+This is the ``ray job submit`` entrypoint: submit with
+``ray job submit -- python -m mediachain_indexer_ray.cli dedupe ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from mediachain_indexer_ray.config import Config
+
+
+def _add_config_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--seed", type=int)
+    p.add_argument("--tau", type=float)
+    p.add_argument("--num-bands", type=int, dest="num_bands")
+    p.add_argument("--band-rows", type=int, dest="band_rows")
+    p.add_argument("--hot-block-threshold", type=int, dest="hot_block_threshold")
+    p.add_argument("--work", dest="work_dir")
+
+
+def _cfg_from_args(args: argparse.Namespace) -> Config:
+    overrides = {
+        k: v
+        for k, v in vars(args).items()
+        if v is not None and k in Config.__dataclass_fields__
+    }
+    cfg = Config.from_env(**overrides)
+    print(f"[config] {json.dumps(cfg.__dict__, default=str)}", file=sys.stderr)
+    return cfg
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+
+def cmd_ingest(args) -> int:
+    """Read + validate + assemble the corpus; write conversations checkpoint."""
+    _ensure_ray()
+    cfg = _cfg_from_args(args)
+    from mediachain_indexer_ray.sources.transcripts import read_transcripts
+    from mediachain_indexer_ray.stages.assemble import assemble
+    from mediachain_indexer_ray.state.checkpoint import CheckpointManager
+
+    cp = CheckpointManager(cfg.work_dir, cfg.content_hash())
+    fp = cp.input_fingerprint(args.input)
+    ds = cp.run("conversations", fp, lambda: assemble(read_transcripts(args.input), cfg))
+    print(json.dumps({"conversations": ds.count(), "work_dir": cfg.work_dir}))
+    return 0
+
+
+def cmd_dedupe(args) -> int:
+    _ensure_ray()
+    cfg = _cfg_from_args(args)
+    from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
+
+    out = dedupe_pipeline(args.input, cfg)
+    cl = out["clusters"]
+    n = cl.count()
+    cp = out["_checkpoints"]
+    print(json.dumps({"clusters_rows": n, "stages": cp.events,
+                      "work_dir": cfg.work_dir}, default=str))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    _ensure_ray()
+    cfg = _cfg_from_args(args)
+    import pandas as pd
+
+    from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
+    from mediachain_indexer_ray.pipelines.evaluate import evaluate_clusters
+
+    out = dedupe_pipeline(args.input, cfg)
+    labels = pd.read_parquet(args.labels)
+    m = evaluate_clusters(labels, out["clusters"], out["pairs"], out["signatures"])
+    print(json.dumps(m))
+    return 0 if m["f1"] >= args.min_f1 else 1
+
+
+def cmd_fixture(args) -> int:
+    from mediachain_indexer_ray.fixtures import FixtureSpec, write_corpus
+
+    spec = FixtureSpec(n_base=args.n_base, seed=args.seed or 42,
+                       viral_fanout=args.viral_fanout)
+    tp, lp = write_corpus(spec, args.out, shuffle_rows=args.shuffle)
+    print(json.dumps({"transcripts": tp, "labels": lp}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="mediachain_indexer_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ingest", help="read+validate+assemble the corpus")
+    p.add_argument("--input", required=True)
+    _add_config_flags(p)
+    p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("dedupe", help="full dedupe pipeline (flagship)")
+    p.add_argument("--input", required=True)
+    _add_config_flags(p)
+    p.set_defaults(fn=cmd_dedupe)
+
+    p = sub.add_parser("eval", help="dedupe + P/R/F1 vs labeled pairs")
+    p.add_argument("--input", required=True)
+    p.add_argument("--labels", required=True)
+    p.add_argument("--min-f1", type=float, default=0.0)
+    _add_config_flags(p)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("fixture", help="generate a labeled synthetic corpus")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-base", type=int, default=200)
+    p.add_argument("--viral-fanout", type=int, default=60)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--shuffle", action="store_true")
+    p.set_defaults(fn=cmd_fixture)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -139,12 +139,12 @@ def attach_pair_texts(
     shuffles either way; text payloads attach exactly once, here."""
     side = reps.select_columns(["conv_id", "feature_text"])
     if reps_rows is not None and reps_rows <= BROADCAST_MAX_ROWS:
-        tab = pa.concat_tables(
-            ray.get(side.to_arrow_refs())  # small by precondition
-        )
-        lut = dict(
-            zip(tab.column("conv_id").to_pylist(), tab.column("feature_text").to_pylist())
-        )
+        tabs = [t for t in ray.get(side.to_arrow_refs()) if t.num_rows > 0]
+        lut: dict = {}
+        for t in tabs:  # small by precondition
+            lut.update(
+                zip(t.column("conv_id").to_pylist(), t.column("feature_text").to_pylist())
+            )
         lut_ref = ray.put(lut)
 
         def _attach(b: pa.Table) -> pa.Table:
