@@ -14,8 +14,15 @@ from __future__ import annotations
 
 import hashlib
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the engine package lives next to this file; make the contract importable
+# regardless of the driver's cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 import numpy as np
 import pyarrow as pa
@@ -126,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": Q.distinct_users,
         "exact_dedup_documents": Q.exact_dedup_documents,
         "sessionize_events": Q.sessionize_events,
+        "text_search": Q.text_search,
+        "sample_events": Q.sample_events,
         # text analysis (SQL oracles)
         "token_stats": Q.token_stats,
         "text_quality": Q.text_quality,
@@ -163,6 +172,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": Q.DISTINCT_USERS_SQL,
         "exact_dedup_documents": Q.EXACT_DEDUP_DOCUMENTS_SQL,
         "sessionize_events": Q.SESSIONIZE_EVENTS_SQL,
+        "text_search": Q.TEXT_SEARCH_SQL,
+        "sample_events": Q.SAMPLE_EVENTS_SQL,
         "token_stats": Q.TOKEN_STATS_SQL,
         "text_quality": Q.TEXT_QUALITY_SQL,
         "top_tokens": Q.TOP_TOKENS_SQL,

@@ -19,6 +19,9 @@ class Config:
     # ---- determinism -------------------------------------------------------
     seed: int = 42
 
+    # ---- model selection (SURVEY.md X1: reference duplicate_mode) ----------
+    duplicate_mode: str = "baseline_ng"   # "baseline" | "baseline_ng"
+
     # ---- text normalization / shingling (SURVEY.md M1, F7) -----------------
     shingle_k: int = 5          # char k-gram width for MinHash shingles
     feature_text_max_chars: int = 2048   # truncation for derived features only;

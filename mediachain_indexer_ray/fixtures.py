@@ -284,6 +284,8 @@ def write_corpus(spec: FixtureSpec, out_dir: str, shuffle_rows: bool = False) ->
         transcripts = transcripts.take(rng.permutation(transcripts.num_rows))
     tp = os.path.join(out_dir, "transcripts.parquet")
     lp = os.path.join(out_dir, "labels.parquet")
-    pq.write_table(transcripts, tp)
+    # small row groups: a single-file corpus must still split into many read
+    # tasks (SURVEY.md §4 partitioning)
+    pq.write_table(transcripts, tp, row_group_size=16384)
     pq.write_table(labels, lp)
     return tp, lp

@@ -70,31 +70,43 @@ def dedupe_pipeline(
     mixed = cp.run("exact_dedup", fp_sigs, lambda: exact_dedup_mixed(sigs, cfg))
     reps, exact_edges = split_exact_dedup(mixed)
 
-    fp_exact = cp.input_fingerprint("exact_dedup")
-    pairs = cp.run(
-        "pairs",
-        fp_exact,
-        lambda: dedup_pairs(emit_pairs(emit_bands(reps, cfg), cfg), cfg),
-    )
+    from mediachain_indexer_ray.registry import get_model
 
-    fp_pairs = cp.input_fingerprint("exact_dedup", "pairs")
-    n_reps = cp.manifest("exact_dedup")["rows"]  # broadcast-vs-shuffle choice
-    scored = cp.run(
-        "pairs_scored",
-        fp_pairs,
-        lambda: score_pairs(
-            attach_pair_texts(
-                simhash_prefilter(pairs, cfg), reps, cfg, P, reps_rows=n_reps
+    model = get_model(cfg.duplicate_mode)
+
+    if model.use_lsh:
+        fp_exact = cp.input_fingerprint("exact_dedup")
+        pairs = cp.run(
+            "pairs",
+            fp_exact,
+            lambda: dedup_pairs(emit_pairs(emit_bands(reps, cfg), cfg), cfg),
+        )
+
+        fp_pairs = cp.input_fingerprint("exact_dedup", "pairs")
+        n_reps = cp.manifest("exact_dedup")["rows"]  # broadcast-vs-shuffle choice
+        scored = cp.run(
+            "pairs_scored",
+            fp_pairs,
+            lambda: score_pairs(
+                attach_pair_texts(
+                    simhash_prefilter(pairs, cfg), reps, cfg, P, reps_rows=n_reps
+                ),
+                cfg,
+                scorer_cls=model.scorer_cls,
             ),
-            cfg,
-        ),
-    )
+        )
+        fp_scored = cp.input_fingerprint("exact_dedup", "pairs_scored")
 
-    fp_scored = cp.input_fingerprint("exact_dedup", "pairs_scored")
+        def _build_edges() -> ray.data.Dataset:
+            accepted = scored.filter(expr="accepted == True").select_columns(["a", "b"])
+            return accepted.union(exact_edges)
 
-    def _build_edges() -> ray.data.Dataset:
-        accepted = scored.filter(expr="accepted == True").select_columns(["a", "b"])
-        return accepted.union(exact_edges)
+    else:  # "baseline": exact-digest blocking only (ref VectorsBaseline)
+        pairs = scored = None
+        fp_scored = cp.input_fingerprint("exact_dedup")
+
+        def _build_edges() -> ray.data.Dataset:
+            return exact_edges
 
     edges = cp.run("edges", fp_scored, _build_edges)
 
@@ -122,7 +134,7 @@ def dedupe_pipeline(
     return {
         "conversations": convs,
         "signatures": sigs,
-        "pairs": scored,
+        "pairs": scored,  # None under duplicate_mode="baseline"
         "edges": edges,
         "clusters": clusters,
         "_checkpoints": cp,  # type: ignore[dict-item]

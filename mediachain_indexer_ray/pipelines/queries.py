@@ -527,6 +527,69 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     return grouped_partitions(ds, "user_id", _fn, _PARTS)
 
 
+# ---------------------------------------------------------------------------
+# J4: text search — token-overlap relevance + top-k (the reference's /search)
+# ---------------------------------------------------------------------------
+
+SEARCH_TERMS = ["spark", "query", "stream"]
+
+
+def text_search(sf_dir: str, k: int = 25):
+    """Match-query over documents: relevance = number of query terms contained,
+    top-k by (relevance, doc_id). The reference serves this from an ES inverted
+    index (``[ref: mc_web.py /search — unverified]``); here it is a scan-time
+    scoring filter + global top-k — scan-based search is the Ray-Data-native
+    equivalent for batch corpora."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _score(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        score = np.zeros(b.num_rows, np.int64)
+        for term in SEARCH_TERMS:
+            score += pc.match_substring(text, term).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"doc_id": b.column("doc_id"), "relevance": pa.array(score)})
+        return t.filter(pa.array(score > 0))
+
+    scored = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["relevance", "doc_id"], descending=[True, False]).limit(k)
+
+
+TEXT_SEARCH_SQL = """
+SELECT doc_id, relevance FROM (
+  SELECT doc_id,
+         CAST((CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END)
+            + (CASE WHEN text LIKE '%query%' THEN 1 ELSE 0 END)
+            + (CASE WHEN text LIKE '%stream%' THEN 1 ELSE 0 END) AS BIGINT) AS relevance
+  FROM documents
+) WHERE relevance > 0
+ORDER BY relevance DESC, doc_id LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# O3: deterministic systematic sampling (seeded-sample analog with an oracle)
+# ---------------------------------------------------------------------------
+
+def sample_events(sf_dir: str, mod: int = 10):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def _mod(b: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.bit_wise_and(b.column("event_id"), mod - 1)
+            if mod & (mod - 1) == 0
+            else pa.array(b.column("event_id").to_numpy() % mod),
+            0,
+        )
+        return b.filter(keep)
+
+    return ds.map_batches(_mod, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SAMPLE_EVENTS_SQL = """
+SELECT event_id, user_id, event_type FROM events WHERE event_id % 10 = 0
+"""
+
+
 SESSIONIZE_EVENTS_SQL = """
 WITH d AS (
   SELECT user_id, ts,

@@ -40,7 +40,13 @@ def read_transcripts(path: str, *, columns: list[str] | None = None) -> ray.data
     """Column-pruned, validated transcript read. `columns` defaults to the full
     schema; pass a subset when a downstream pipeline needs less (prune at the
     read — SURVEY.md §4)."""
-    ds = ray.data.read_parquet(path, columns=columns or list(S.TRANSCRIPTS.names))
+    from mediachain_indexer_ray.config import default_parallelism
+
+    ds = ray.data.read_parquet(
+        path,
+        columns=columns or list(S.TRANSCRIPTS.names),
+        override_num_blocks=default_parallelism(),
+    )
     if columns is None or set(columns) == set(S.TRANSCRIPTS.names):
         ds = ds.map_batches(normalize_batch, batch_format="pyarrow", zero_copy_batch=True)
     return ds

@@ -12,6 +12,7 @@ TableGroupBy list-aggregation (order-of-appearance within groups) + binary_join.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -36,6 +37,17 @@ def assemble_partition(t: pa.Table) -> pa.Table:
         ],
     )
     t = t.take(idx)
+    # idempotent re-ingest (SURVEY.md D1): the reference's deterministic _id
+    # makes re-indexing a seen doc a no-op; here a re-ingested corpus delivers
+    # duplicate (conv_id, turn_idx) rows — keep the first (they are sorted, so
+    # "first" is deterministic: lowest ts).
+    conv = t.column("conv_id").to_pandas().to_numpy()
+    tix = t.column("turn_idx").to_numpy()
+    keep = np.ones(len(conv), bool)
+    if len(conv) > 1:
+        keep[1:] = (conv[1:] != conv[:-1]) | (tix[1:] != tix[:-1])
+    if not keep.all():
+        t = t.filter(pa.array(keep))
     gb = pa.TableGroupBy(t, "conv_id", use_threads=False)
     agg = gb.aggregate(
         [

@@ -165,17 +165,26 @@ def attach_pair_texts(
     )
 
 
-def score_pairs(pairs_with_text: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
+def score_pairs(
+    pairs_with_text: ray.data.Dataset, cfg: Config, scorer_cls: type | None = None
+) -> ray.data.Dataset:
     from mediachain_indexer_ray.config import default_parallelism
 
-    # actor pool sized to the cluster: up to ~1 scorer per core (the pool
-    # autoscales down when the pair stream is thin)
-    hi = max(cfg.scorer_concurrency, default_parallelism() // 2)
+    # fixed-size actor pool ~1 scorer per 2 cores: an autoscaling (1, hi) pool
+    # ramps up too slowly and serializes the stage behind actor startup. Cap
+    # below the cluster CPU count — a pool that pins EVERY core starves the
+    # upstream stages feeding it (deadlock on small clusters).
+    try:
+        cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover
+        cluster_cpus = 8
+    hi = max(cfg.scorer_concurrency, default_parallelism() // 4)
+    hi = max(1, min(hi, cluster_cpus - 2))
     return pairs_with_text.map_batches(
-        PairScorer,
+        scorer_cls or PairScorer,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.pair_batch_size,
-        concurrency=(1, hi),
+        concurrency=hi,
         num_cpus=1,
     )
