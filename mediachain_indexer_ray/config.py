@@ -128,3 +128,17 @@ def default_parallelism() -> int:
     except Exception:  # pragma: no cover
         cpus = os.cpu_count() or 8
     return max(8, 2 * cpus)
+
+
+def sized_parallelism(rows: int | None, rows_per_part: int) -> int:
+    """Data-aware partition count for a wide stage: enough partitions that each
+    holds ≲ rows_per_part rows, capped at the CPU-derived default (2×CPUs) and
+    floored at 4. At 100 TB the rows term saturates the cap, so partitioning
+    scales with the cluster; at test scale it keeps tiny shuffles from paying
+    2×CPUs of per-task overhead for kilobytes of data."""
+    P = default_parallelism()
+    if rows is None or rows <= 0:
+        return P
+    import math
+
+    return max(4, min(P, math.ceil(rows / rows_per_part)))

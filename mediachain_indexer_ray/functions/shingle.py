@@ -41,8 +41,10 @@ def shingle_hashes(arr, k: int) -> tuple[np.ndarray, np.ndarray]:
     H = np.zeros(nwin, U64)
     if nwin:
         d = data.astype(U64)
-        for j in range(k):
-            H = H * _C + d[j : j + nwin]
+        H += d[0:nwin]
+        for j in range(1, k):  # in-place: no per-iteration temporaries
+            H *= _C
+            H += d[j : j + nwin]
         H = splitmix64(H)
 
     counts = np.maximum(lengths - k + 1, 0).astype(np.int64)

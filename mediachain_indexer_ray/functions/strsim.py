@@ -177,6 +177,48 @@ def _lengths(arr) -> np.ndarray:
     return (ends - starts).astype(np.float64)
 
 
+def jaccard_from_sets(sets_a: list[np.ndarray], sets_b: list[np.ndarray]) -> np.ndarray:
+    """Jaccard for aligned pairs of pre-uniqued 48-bit shingle-hash sets
+    (uint64 arrays). One packed sort over the batch: key = row << 48 | hash.
+    Rows per batch must stay < 2^16."""
+    n = len(sets_a)
+    if n == 0:
+        return np.empty(0, np.float64)
+    if n >= (1 << 16):
+        raise ValueError("jaccard_from_sets: batch too large for 48-bit packing")
+    ca = np.fromiter((len(s) for s in sets_a), np.int64, n)
+    cb = np.fromiter((len(s) for s in sets_b), np.int64, n)
+    rows_a = np.repeat(np.arange(n, dtype=np.uint64), ca)
+    rows_b = np.repeat(np.arange(n, dtype=np.uint64), cb)
+    flat_a = np.concatenate(sets_a) if ca.sum() else np.empty(0, np.uint64)
+    flat_b = np.concatenate(sets_b) if cb.sum() else np.empty(0, np.uint64)
+    both = np.sort(
+        np.concatenate(
+            [(rows_a << np.uint64(48)) | flat_a, (rows_b << np.uint64(48)) | flat_b]
+        )
+    )
+    dup = both[1:] == both[:-1]
+    inter = np.bincount((both[1:][dup] >> np.uint64(48)).astype(np.int64), minlength=n)
+    union = ca + cb - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = inter / union
+    return np.where(union == 0, 1.0, out)  # both empty → identical
+
+
+def shingle_sets(
+    arr, k: int, sample_mod: int = 1
+) -> list[np.ndarray]:
+    """Per-row sorted-unique 48-bit shingle-hash sets for an Arrow string array
+    (the precomputable half of :func:`ngram_jaccard_batch`)."""
+    from mediachain_indexer_ray.functions.minhash import sample_shingles
+
+    h, bnd = shingle_hashes(arr, k)
+    if sample_mod > 1:
+        h, bnd = sample_shingles(h, bnd, sample_mod)
+    h = h >> np.uint64(16)
+    return [np.unique(h[bnd[i] : bnd[i + 1]]) for i in range(len(bnd) - 1)]
+
+
 def ngram_jaccard_batch(a_arr, b_arr, k: int = 5, sample_mod: int = 1) -> np.ndarray:
     """Exact k-gram Jaccard for aligned pairs via sorted shingle-hash set
     intersection (SURVEY.md F2). Vectorized: one sort over the concatenated

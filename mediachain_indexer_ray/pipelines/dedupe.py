@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import ray.data
 
-from mediachain_indexer_ray.config import Config, default_parallelism
+from mediachain_indexer_ray.config import Config, default_parallelism, sized_parallelism
 from mediachain_indexer_ray.sources.transcripts import read_transcripts
 from mediachain_indexer_ray.stages.assemble import assemble
 from mediachain_indexer_ray.stages.blocking import (
@@ -41,6 +41,25 @@ from mediachain_indexer_ray.state.checkpoint import CheckpointManager
 import pyarrow as pa
 
 
+def _parquet_rows(path: str) -> int | None:
+    """Row count from parquet footers only (no data read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isfile(path):
+            return pq.read_metadata(path).num_rows
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, f)).num_rows
+        return total or None
+    except Exception:  # pragma: no cover — fall back to CPU-derived P
+        return None
+
+
 def dedupe_pipeline(
     transcripts_path: str,
     cfg: Config,
@@ -50,13 +69,21 @@ def dedupe_pipeline(
     conversations, signatures, pairs (scored), clusters."""
     work = work_dir or cfg.work_dir
     cp = CheckpointManager(work, cfg.content_hash())
-    P = cfg.num_hash_partitions or default_parallelism()
+
+    # Partition counts are data-aware (rows from parquet metadata / upstream
+    # manifests), capped at 2×cluster CPUs: at 100 TB every stage saturates the
+    # CPU cap; at test scale tiny shuffles stop paying 64 tasks of overhead
+    # for kilobytes of data (SURVEY.md §4 partitioning).
+    n_turns = _parquet_rows(transcripts_path)
 
     fp_in = cp.input_fingerprint(transcripts_path)
     convs = cp.run(
         "conversations",
         fp_in,
-        lambda: assemble(read_transcripts(transcripts_path), cfg),
+        lambda: assemble(
+            read_transcripts(transcripts_path), cfg,
+            num_parts=sized_parallelism(n_turns, 100_000),
+        ),
     )
 
     fp_convs = cp.input_fingerprint("conversations")
@@ -66,8 +93,15 @@ def dedupe_pipeline(
         lambda: signatures(convs, cfg),
     )
 
+    n_convs = cp.manifest("conversations")["rows"]
     fp_sigs = cp.input_fingerprint("signatures")
-    mixed = cp.run("exact_dedup", fp_sigs, lambda: exact_dedup_mixed(sigs, cfg))
+    mixed = cp.run(
+        "exact_dedup",
+        fp_sigs,
+        lambda: exact_dedup_mixed(
+            sigs, cfg, num_parts=sized_parallelism(n_convs, 20_000)
+        ),
+    )
     reps, exact_edges = split_exact_dedup(mixed)
 
     from mediachain_indexer_ray.registry import get_model
@@ -76,20 +110,28 @@ def dedupe_pipeline(
 
     if model.use_lsh:
         fp_exact = cp.input_fingerprint("exact_dedup")
+        n_mixed = cp.manifest("exact_dedup")["rows"]
+        P_bands = sized_parallelism(n_mixed * cfg.num_bands, 250_000)
         pairs = cp.run(
             "pairs",
             fp_exact,
-            lambda: dedup_pairs(emit_pairs(emit_bands(reps, cfg), cfg), cfg),
+            lambda: dedup_pairs(
+                emit_pairs(emit_bands(reps, cfg), cfg, num_parts=P_bands),
+                cfg,
+                num_parts=P_bands,
+            ),
         )
 
         fp_pairs = cp.input_fingerprint("exact_dedup", "pairs")
         n_reps = cp.manifest("exact_dedup")["rows"]  # broadcast-vs-shuffle choice
+        P_join = sized_parallelism(cp.manifest("pairs")["rows"], 100_000)
         scored = cp.run(
             "pairs_scored",
             fp_pairs,
             lambda: score_pairs(
                 attach_pair_texts(
-                    simhash_prefilter(pairs, cfg), reps, cfg, P, reps_rows=n_reps
+                    simhash_prefilter(pairs, cfg), reps, cfg, P_join,
+                    reps_rows=n_reps,
                 ),
                 cfg,
                 scorer_cls=model.scorer_cls,
@@ -113,7 +155,10 @@ def dedupe_pipeline(
     fp_edges = cp.input_fingerprint("edges", "signatures")
 
     def _build_clusters() -> ray.data.Dataset:
-        comp = connected_components(edges, cfg)
+        n_edges = cp.manifest("edges")["rows"]
+        comp = connected_components(
+            edges, cfg, num_parts=sized_parallelism(2 * n_edges, 100_000)
+        )
         # singletons: every conversation not in any edge clusters with itself
         ids = sigs.select_columns(["conv_id"])
 

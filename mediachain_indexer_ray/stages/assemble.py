@@ -78,10 +78,12 @@ def assemble_partition(t: pa.Table) -> pa.Table:
     )
 
 
-def assemble(ds: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
+def assemble(
+    ds: ray.data.Dataset, cfg: Config, num_parts: int | None = None
+) -> ray.data.Dataset:
     """transcripts Dataset → conversations Dataset (shuffle #1, key=conv_id)."""
     from mediachain_indexer_ray.stages.partition import grouped_partitions
 
     return grouped_partitions(
-        ds, "conv_id", assemble_partition, cfg.num_hash_partitions or None
+        ds, "conv_id", assemble_partition, cfg.num_hash_partitions or num_parts
     )

@@ -97,13 +97,15 @@ def _exact_dedup_partition(t: pa.Table) -> pa.Table:
     return out
 
 
-def exact_dedup_mixed(sigs: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
+def exact_dedup_mixed(
+    sigs: ray.data.Dataset, cfg: Config, num_parts: int | None = None
+) -> ray.data.Dataset:
     """signatures → mixed (kind=0 representative rows, kind=1 exact-dup edges).
     Shuffle key = digest. The pipeline CHECKPOINTS this dataset before calling
     :func:`split_exact_dedup` — deriving both sides from an unmaterialized
     dataset would re-execute the shuffle twice."""
     return grouped_partitions(
-        sigs, "digest", _exact_dedup_partition, cfg.num_hash_partitions or None
+        sigs, "digest", _exact_dedup_partition, cfg.num_hash_partitions or num_parts
     )
 
 
@@ -245,14 +247,16 @@ def _emit_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
     )
 
 
-def emit_pairs(blocks: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
+def emit_pairs(
+    blocks: ray.data.Dataset, cfg: Config, num_parts: int | None = None
+) -> ray.data.Dataset:
     """Shuffle #2 (key=band_key): co-locate bands, salt hot ones, emit
     canonical candidate pairs."""
     return grouped_partitions(
         blocks,
         "band_key",
         lambda t: _emit_pairs_partition(t, cfg),
-        cfg.num_hash_partitions or None,
+        cfg.num_hash_partitions or num_parts,
     )
 
 
@@ -277,7 +281,9 @@ def _dedup_pairs_partition(t: pa.Table) -> pa.Table:
     )
 
 
-def dedup_pairs(pairs: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
+def dedup_pairs(
+    pairs: ray.data.Dataset, cfg: Config, num_parts: int | None = None
+) -> ray.data.Dataset:
     """Shuffle #3 (key=(a,b)): score each candidate pair once, however many
     bands it co-occurred in; n_bands kept as a feature. The result IS the
     blocker's candidate set (the eval's 'labeled pairs sharing a blocking key'
@@ -292,7 +298,7 @@ def dedup_pairs(pairs: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
 
     keyed = pairs.map_batches(_add_pair_key, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_partitions(
-        keyed, "pair_key", _dedup_pairs_partition, cfg.num_hash_partitions or None
+        keyed, "pair_key", _dedup_pairs_partition, cfg.num_hash_partitions or num_parts
     )
 
 

@@ -22,15 +22,22 @@ import ray.data
 from mediachain_indexer_ray.config import Config
 from mediachain_indexer_ray.functions.simhash import simhash_cosine
 from mediachain_indexer_ray.functions.strsim import (
+    jaccard_from_sets,
     jaro_winkler_batch,
     levenshtein_ratio_batch,
-    ngram_jaccard_batch,
+    shingle_sets,
 )
 
 
 class PairScorer:
     """Callable class for map_batches actor pools: per-actor setup in
     __init__ (once), batched scoring in __call__ (per batch)."""
+
+    # per-actor shingle-set cache bound (entries ≈ 4 KB each → ~512 MB cap);
+    # hot-block endpoints recur across many pair batches, so caching their
+    # shingle sets is the difference between shingling O(pairs) texts and
+    # O(unique conversations) texts per actor
+    CACHE_MAX_ENTRIES = 131_072
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -41,6 +48,30 @@ class PairScorer:
             [cfg.w_jaccard, cfg.w_cosine, cfg.w_jw, cfg.w_lev], np.float64
         )
         self.tau = cfg.tau
+        self._shingle_cache: dict[str, np.ndarray] = {}
+
+    def _sets_for(self, ids: list, texts: pa.Array) -> list[np.ndarray]:
+        """conv_id → sorted-unique sampled shingle-hash set, cached per actor;
+        misses are shingled in ONE vectorized pass over their texts."""
+        cache = self._shingle_cache
+        miss_idx: list[int] = []
+        miss_ids: list = []
+        seen: set = set()
+        for i, cid in enumerate(ids):
+            if cid not in cache and cid not in seen:
+                seen.add(cid)
+                miss_idx.append(i)
+                miss_ids.append(cid)
+        if miss_idx:
+            if len(cache) + len(miss_ids) > self.CACHE_MAX_ENTRIES:
+                cache.clear()
+            sub = texts.take(pa.array(miss_idx, pa.int64()))
+            for cid, s in zip(
+                miss_ids,
+                shingle_sets(sub, self.cfg.shingle_k, self.cfg.scorer_sample_mod),
+            ):
+                cache[cid] = s
+        return [cache[c] for c in ids]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -58,8 +89,10 @@ class PairScorer:
         #      banded-Levenshtein DP kernels and the full weighted score.
         # Hot viral blocks are dominated by clear accepts/rejects, so the DP
         # work is O(borderline), not O(pairs).
-        jac = ngram_jaccard_batch(ta, tb, cfg.shingle_k,
-                                  sample_mod=cfg.scorer_sample_mod)
+        jac = jaccard_from_sets(
+            self._sets_for(batch.column("a").to_pylist(), ta),
+            self._sets_for(batch.column("b").to_pylist(), tb),
+        )
         cos = simhash_cosine(
             batch.column("simhash_a").to_numpy(), batch.column("simhash_b").to_numpy()
         )
