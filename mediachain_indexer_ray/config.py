@@ -28,7 +28,11 @@ class Config:
                                          # stored `text` is NEVER mutated
 
     # ---- MinHash / SimHash signatures (SURVEY.md M4) -----------------------
-    sig_text_max_chars: int = 8192   # signature input cap (norm text)
+    sig_text_max_chars: int = 4096   # signature input cap (norm text): long
+                                     # enough that band recall survives 10%
+                                     # char edits (F1 gate), half the shingle
+                                     # hashing cost of 8192; the scorer is the
+                                     # final arbiter on its own 2048-char cap
     shingle_sample_mod: int = 2      # content-defined shingle sampling (1=off)
     num_perm: int = 128         # K minhash permutations
     num_bands: int = 32         # B bands ...

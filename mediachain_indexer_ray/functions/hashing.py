@@ -88,6 +88,28 @@ def hash_bytes_array(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> 
     return splitmix64(sums ^ lengths.astype(U64))
 
 
+def content_digest(arr) -> np.ndarray:
+    """Exact-content uint64 digest per string, built for LONG payloads
+    (assembled conversation text, documents): one blake2b C call per row over
+    a zero-copy slice of the Arrow buffer. The vectorized polynomial path
+    (:func:`hash_bytes_array`) materializes O(total_bytes) int64 temporaries —
+    ~50× more memory traffic, which dominates the signature stage on fat rows.
+    Keyed use (SURVEY.md M5): equal bytes ⇒ equal digest."""
+    import hashlib
+
+    data, starts, ends = arrow_string_buffers(arr)
+    n = len(starts)
+    out = np.empty(n, U64)
+    mv = memoryview(data)
+    blake2b = hashlib.blake2b
+    fb = int.from_bytes
+    for i in range(n):
+        out[i] = fb(
+            blake2b(mv[starts[i] : ends[i]], digest_size=8).digest(), "little"
+        )
+    return out
+
+
 def as_array(arr):
     """ChunkedArray → contiguous Array; Array passes through."""
     import pyarrow as pa

@@ -100,16 +100,30 @@ def minhash_oph(
     out = np.full(n * K, SENTINEL)
     if len(shingles):
         vals = splitmix64(shingles ^ perm_constants(1, seed)[0])
-        bins = (vals % U64(K)).astype(np.int64)
-        row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(boundaries))
-        keys = row_of * K + bins
-        order = np.argsort(keys, kind="stable")
-        sk, sv = keys[order], vals[order]
-        group_start = np.empty(len(sk), bool)
-        group_start[0] = True
-        np.not_equal(sk[1:], sk[:-1], out=group_start[1:])
-        starts_idx = np.flatnonzero(group_start)
-        out[sk[starts_idx]] = np.minimum.reduceat(sv, starts_idx)
+        bins = vals % U64(K)
+        row_of = np.repeat(np.arange(n, dtype=np.uint64), np.diff(boundaries))
+        keys = row_of * U64(K) + bins
+        if n * K < (1 << 24):
+            # pack (key:24 | value-high-40) and np.sort ONCE — ~2× cheaper than
+            # argsort + gathers. Signature values become the TOP 40 bits of the
+            # hash (a fixed truncation, so values stay comparable across
+            # batches); min is preserved under order-preserving truncation and
+            # 2^-40 within-signature collisions are noise for Jaccard.
+            packed = np.sort((keys << U64(40)) | (vals >> U64(24)))
+            kpart = packed >> U64(40)
+            first = np.empty(len(packed), bool)
+            first[0] = True
+            np.not_equal(kpart[1:], kpart[:-1], out=first[1:])
+            out[kpart[first].astype(np.int64)] = packed[first] & U64((1 << 40) - 1)
+        else:  # huge batch fallback: exact values, argsort path
+            keys = keys.astype(np.int64)
+            order = np.argsort(keys, kind="stable")
+            sk, sv = keys[order], vals[order]
+            group_start = np.empty(len(sk), bool)
+            group_start[0] = True
+            np.not_equal(sk[1:], sk[:-1], out=group_start[1:])
+            starts_idx = np.flatnonzero(group_start)
+            out[sk[starts_idx]] = np.minimum.reduceat(sv, starts_idx)
     sig = out.reshape(n, K)
 
     # circular forward-fill of empty bins (doubling passes)

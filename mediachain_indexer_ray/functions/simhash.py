@@ -14,22 +14,29 @@ from mediachain_indexer_ray.functions.hashing import U64, popcount64
 
 
 def simhash_signatures(shingles: np.ndarray, boundaries: np.ndarray) -> np.ndarray:
-    """Per-row 64-bit SimHash. 64 segmented-sum passes over the shingle stream,
-    each fully vectorized. Empty rows get simhash 0."""
+    """Per-row 64-bit SimHash: per row, unpack the row's shingle hashes into a
+    (row_shingles, 64) bit matrix and column-sum it (one C call each) — ~5×
+    faster than 64 segmented passes over the whole stream (signatures are
+    memory-bandwidth bound at cluster concurrency). The python loop runs per
+    ROW, not per shingle; rows carry hundreds-to-thousands of shingles.
+    Empty rows get simhash 0."""
     n = len(boundaries) - 1
-    counts = np.diff(boundaries)
-    out = np.zeros(n, U64)
+    counts = np.diff(boundaries).astype(np.int64)
     if len(shingles) == 0 or n == 0:
-        return out
-    bnd = np.minimum(boundaries[:-1], len(shingles) - 1)
-    nonempty = counts > 0
-    half = counts.astype(np.int64)  # threshold: bit set iff ones > count/2 (*2 below)
-    for b in range(64):
-        bits = ((shingles >> U64(b)) & U64(1)).astype(np.int64)
-        ones = np.add.reduceat(bits, bnd)
-        setbit = (2 * ones > half) & nonempty
-        out |= setbit.astype(U64) << U64(b)
-    return out
+        return np.zeros(n, U64)
+
+    bytes_all = shingles.view(np.uint8).reshape(-1, 8)
+    ones = np.zeros((n, 64), np.int64)
+    for r in range(n):
+        s, e = boundaries[r], boundaries[r + 1]
+        if e > s:
+            ones[r] = np.unpackbits(
+                bytes_all[s:e], axis=1, bitorder="little"
+            ).sum(axis=0)
+
+    setbits = (2 * ones > counts[:, None]) & (counts > 0)[:, None]
+    packed = np.packbits(setbits, axis=1, bitorder="little")
+    return np.ascontiguousarray(packed).view(U64).reshape(n)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -124,19 +124,33 @@ def dedupe_pipeline(
 
         fp_pairs = cp.input_fingerprint("exact_dedup", "pairs")
         n_reps = cp.manifest("exact_dedup")["rows"]  # broadcast-vs-shuffle choice
-        P_join = sized_parallelism(cp.manifest("pairs")["rows"], 100_000)
-        scored = cp.run(
-            "pairs_scored",
-            fp_pairs,
-            lambda: score_pairs(
+
+        def _build_scored() -> ray.data.Dataset:
+            from mediachain_indexer_ray.stages.scoring import (
+                BROADCAST_MAX_ROWS,
+                build_text_lut_ref,
+            )
+
+            if n_reps <= BROADCAST_MAX_ROWS:
+                # broadcast path: prefilter + text attach FUSED into the scorer
+                # actors; the LUT is built driver-side straight from the
+                # checkpoint parquet (no extra Ray job) and plasma-shared
+                lut_ref = build_text_lut_ref(cp.stage_dir("exact_dedup"))
+                return score_pairs(
+                    pairs, cfg, scorer_cls=model.scorer_cls, lut_ref=lut_ref
+                )
+            # large-side path: shuffle join attaches texts, then score
+            P_join = sized_parallelism(cp.manifest("pairs")["rows"], 100_000)
+            return score_pairs(
                 attach_pair_texts(
                     simhash_prefilter(pairs, cfg), reps, cfg, P_join,
                     reps_rows=n_reps,
                 ),
                 cfg,
                 scorer_cls=model.scorer_cls,
-            ),
-        )
+            )
+
+        scored = cp.run("pairs_scored", fp_pairs, _build_scored)
         fp_scored = cp.input_fingerprint("exact_dedup", "pairs_scored")
 
         def _build_edges() -> ray.data.Dataset:

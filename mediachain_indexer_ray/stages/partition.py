@@ -60,11 +60,13 @@ def grouped_partitions(
     """Shuffle by hash(key) into P buckets and apply vectorized ``fn`` to each
     bucket table (with ``__part`` already dropped). ``fn`` sees every row of any
     given key exactly once, in one table."""
-    parted, _ = add_hash_partition(ds, key, num_parts, salt=salt)
+    parted, P = add_hash_partition(ds, key, num_parts, salt=salt)
 
     def _run(t: pa.Table) -> pa.Table:
         return fn(t.drop_columns([PART_COL]))
 
-    return parted.groupby(PART_COL).map_groups(
+    # num_partitions parallelizes the sort-shuffle reduce side (without it the
+    # reduce task count follows input blocks, which serializes small shuffles)
+    return parted.groupby(PART_COL, num_partitions=P).map_groups(
         _run, batch_format="pyarrow", **map_groups_kwargs
     )

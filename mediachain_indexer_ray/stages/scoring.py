@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray.data
 
 from mediachain_indexer_ray.config import Config
-from mediachain_indexer_ray.functions.simhash import simhash_cosine
+from mediachain_indexer_ray.functions.simhash import hamming64, simhash_cosine
 from mediachain_indexer_ray.functions.strsim import (
     jaccard_from_sets,
     jaro_winkler_batch,
@@ -39,7 +39,7 @@ class PairScorer:
     # O(unique conversations) texts per actor
     CACHE_MAX_ENTRIES = 131_072
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, lut_ref=None):
         self.cfg = cfg
         # Precompute anything reusable across batches. The numpy kernels are
         # parameterized by these; keeping them here mirrors the reference's
@@ -49,6 +49,32 @@ class PairScorer:
         )
         self.tau = cfg.tau
         self._shingle_cache: dict[str, np.ndarray] = {}
+        # broadcast feature-text lookup (ONE zero-copy plasma get per actor):
+        # when set, __call__ accepts bare candidate pairs and does the simhash
+        # prefilter + text attach itself — three pipeline stages folded into
+        # the actor pool, no intermediate block materialization
+        self._lut_keys = self._lut_texts = None
+        if lut_ref is not None:
+            lut = ray.get(lut_ref)
+            self._lut_keys = np.asarray(lut.column("key").to_numpy())
+            self._lut_texts = lut.column("feature_text")
+
+    def _attach_texts(self, b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from mediachain_indexer_ray.functions.hashing import hash_strings
+
+        cols = []
+        for col in ("a", "b"):
+            h = hash_strings(b.column(col).combine_chunks(), seed=0x1D)
+            if len(self._lut_keys) == 0:
+                cols.append(pa.array([""] * b.num_rows, pa.string()))
+                continue
+            pos = np.clip(np.searchsorted(self._lut_keys, h), 0, len(self._lut_keys) - 1)
+            hit = self._lut_keys[pos] == h
+            idx = pa.array(pos, pa.int64(), mask=~hit)
+            cols.append(pc.fill_null(self._lut_texts.take(idx), ""))
+        return b.append_column("text_a", cols[0]).append_column("text_b", cols[1])
 
     def _sets_for(self, ids: list, texts: pa.Array) -> list[np.ndarray]:
         """conv_id → sorted-unique sampled shingle-hash set, cached per actor;
@@ -75,6 +101,14 @@ class PairScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        if self._lut_keys is not None and "text_a" not in batch.column_names:
+            # fused prefilter + attach (cheap, vectorized; SURVEY.md F1/J2)
+            ham = hamming64(
+                batch.column("simhash_a").to_numpy(),
+                batch.column("simhash_b").to_numpy(),
+            )
+            batch = batch.filter(pa.array(ham <= cfg.simhash_prefilter_bits))
+            batch = self._attach_texts(batch)
         n = batch.num_rows
         if n == 0:
             return _empty_scored()
@@ -172,19 +206,46 @@ def attach_pair_texts(
     shuffles either way; text payloads attach exactly once, here."""
     side = reps.select_columns(["conv_id", "feature_text"])
     if reps_rows is not None and reps_rows <= BROADCAST_MAX_ROWS:
+        from mediachain_indexer_ray.functions.hashing import hash_strings
+
         tabs = [t for t in ray.get(side.to_arrow_refs()) if t.num_rows > 0]
-        lut: dict = {}
-        for t in tabs:  # small by precondition
-            lut.update(
-                zip(t.column("conv_id").to_pylist(), t.column("feature_text").to_pylist())
-            )
-        lut_ref = ray.put(lut)
+        # broadcast an ARROW table keyed by sorted uint64 id-hash: plasma gets
+        # are zero-copy for Arrow buffers, so every task maps it for free — a
+        # pickled python dict would be re-deserialized per task (O(rows) each)
+        lut_tab = pa.concat_tables(tabs).combine_chunks() if tabs else pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "feature_text": pa.array([], pa.string())}
+        )
+        key = hash_strings(lut_tab.column("conv_id").combine_chunks(), seed=0x1D)
+        order = np.argsort(key)
+        lut_tab = pa.table(
+            {
+                "key": pa.array(key[order]),
+                "feature_text": lut_tab.column("feature_text").take(pa.array(order)),
+            }
+        )
+        lut_ref = ray.put(lut_tab)
 
         def _attach(b: pa.Table) -> pa.Table:
-            m = ray.get(lut_ref)
-            ta = pa.array([m.get(x, "") for x in b.column("a").to_pylist()], pa.string())
-            tb = pa.array([m.get(x, "") for x in b.column("b").to_pylist()], pa.string())
-            return b.append_column("text_a", ta).append_column("text_b", tb)
+            import pyarrow.compute as pc
+
+            lut = ray.get(lut_ref)  # zero-copy Arrow
+            keys = np.asarray(lut.column("key").to_numpy())
+            texts = lut.column("feature_text")
+            out_cols = []
+            for col in ("a", "b"):
+                h = hash_strings(b.column(col).combine_chunks(), seed=0x1D)
+                if len(keys) == 0:
+                    out_cols.append(pa.array([""] * b.num_rows, pa.string()))
+                    continue
+                pos = np.searchsorted(keys, h)
+                pos_c = np.clip(pos, 0, len(keys) - 1)
+                hit = keys[pos_c] == h
+                take_idx = pa.array(pos_c, pa.int64(), mask=~hit)  # null → miss
+                out_cols.append(pc.fill_null(texts.take(take_idx), ""))
+            return b.append_column("text_a", out_cols[0]).append_column(
+                "text_b", out_cols[1]
+            )
 
         return pairs.map_batches(_attach, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -198,8 +259,36 @@ def attach_pair_texts(
     )
 
 
+def build_text_lut_ref(checkpoint_dir: str):
+    """Broadcast LUT (sorted id-hash → feature_text) built DIRECTLY from the
+    exact_dedup checkpoint's parquet footers/columns — a driver-side
+    pq.read_table of two columns, no Ray job. Returns a plasma ref to the
+    Arrow table (zero-copy for every scorer actor)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mediachain_indexer_ray.functions.hashing import hash_strings
+
+    t = pq.read_table(checkpoint_dir, columns=["kind", "conv_id", "feature_text"])
+    t = t.filter(pc.equal(t.column("kind"), 0))
+    key = hash_strings(t.column("conv_id").combine_chunks(), seed=0x1D)
+    order = np.argsort(key)
+    lut = pa.table(
+        {
+            "key": pa.array(key[order]),
+            "feature_text": t.column("feature_text").combine_chunks().take(
+                pa.array(order)
+            ),
+        }
+    )
+    return ray.put(lut)
+
+
 def score_pairs(
-    pairs_with_text: ray.data.Dataset, cfg: Config, scorer_cls: type | None = None
+    pairs_with_text: ray.data.Dataset,
+    cfg: Config,
+    scorer_cls: type | None = None,
+    lut_ref=None,
 ) -> ray.data.Dataset:
     from mediachain_indexer_ray.config import default_parallelism
 
@@ -215,7 +304,7 @@ def score_pairs(
     hi = max(1, min(hi, cluster_cpus - 2))
     return pairs_with_text.map_batches(
         scorer_cls or PairScorer,
-        fn_constructor_args=(cfg,),
+        fn_constructor_args=(cfg, lut_ref),
         batch_format="pyarrow",
         batch_size=cfg.pair_batch_size,
         concurrency=hi,

@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from mediachain_indexer_ray.config import Config
-from mediachain_indexer_ray.functions.hashing import as_array, hash_strings
+from mediachain_indexer_ray.functions.hashing import as_array, content_digest
 from mediachain_indexer_ray.functions.minhash import minhash_signatures, sample_shingles
 from mediachain_indexer_ray.functions.shingle import shingle_hashes
 from mediachain_indexer_ray.functions.simhash import simhash_signatures
@@ -28,7 +28,7 @@ def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     norm = as_array(batch.column("norm_text"))
 
     # exact-content digest over the RAW assembled text (M5): per-turn equality
-    digest = hash_strings(as_array(doc_text))
+    digest = content_digest(as_array(doc_text))
 
     sig_text = as_array(pc.utf8_slice_codeunits(norm, 0, cfg.sig_text_max_chars))
     sh, bnd = shingle_hashes(sig_text, cfg.shingle_k)
