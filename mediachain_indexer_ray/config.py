@@ -18,6 +18,9 @@ from dataclasses import asdict, dataclass, field, replace
 class Config:
     # ---- determinism -------------------------------------------------------
     seed: int = 42
+    # bumped on breaking checkpoint-schema changes so stale checkpoints from
+    # older engine versions are rebuilt, not reused (folds into content_hash)
+    engine_schema_version: int = 2
 
     # ---- model selection (SURVEY.md X1: reference duplicate_mode) ----------
     duplicate_mode: str = "baseline_ng"   # "baseline" | "baseline_ng"

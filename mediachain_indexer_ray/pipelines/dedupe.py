@@ -169,13 +169,50 @@ def dedupe_pipeline(
     fp_edges = cp.input_fingerprint("edges", "signatures")
 
     def _build_clusters() -> ray.data.Dataset:
+        import numpy as np
+
+        from mediachain_indexer_ray.functions.hashing import hash_strings
+        from mediachain_indexer_ray.stages.partition import grouped_partitions
+
         n_edges = cp.manifest("edges")["rows"]
         comp = connected_components(
             edges, cfg, num_parts=sized_parallelism(2 * n_edges, 100_000)
         )
-        # singletons: every conversation not in any edge clusters with itself
         ids = sigs.select_columns(["conv_id"])
 
+        if n_edges <= 2_000_000:
+            # small edge set: broadcast the edge-node hash set and ANTI-FILTER
+            # the id stream for singletons — no shuffle at all (comp already
+            # carries exactly one row per edge-node)
+            comp = comp.materialize()
+            hs = comp.map_batches(
+                lambda b: pa.table(
+                    {"h": pa.array(hash_strings(b.column("conv_id").combine_chunks()))}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_pandas()["h"].to_numpy()
+            hs_ref = ray.put(np.sort(hs))
+
+            def _singletons(b: pa.Table) -> pa.Table:
+                edge_nodes = ray.get(hs_ref)
+                h = hash_strings(b.column("conv_id").combine_chunks())
+                if len(edge_nodes):
+                    pos = np.clip(np.searchsorted(edge_nodes, h), 0, len(edge_nodes) - 1)
+                    keep = edge_nodes[pos] != h
+                else:
+                    keep = np.ones(len(h), bool)
+                t = b.filter(pa.array(keep))
+                return pa.table(
+                    {"conv_id": t.column("conv_id"), "cluster_id": t.column("conv_id")}
+                )
+
+            selfs = ids.map_batches(
+                _singletons, batch_format="pyarrow", zero_copy_batch=True
+            )
+            return comp.union(selfs)
+
+        # scale path: full shuffle — min label per node (component label wins)
         def _self(b: pa.Table) -> pa.Table:
             return pa.table(
                 {"conv_id": b.column("conv_id"), "cluster_id": b.column("conv_id")}
@@ -183,9 +220,20 @@ def dedupe_pipeline(
 
         selfs = ids.map_batches(_self, batch_format="pyarrow", zero_copy_batch=True)
         both = comp.union(selfs)
-        # min label per node (component label wins over self label)
-        return both.groupby("conv_id").min("cluster_id").rename_columns(
-            {"min(cluster_id)": "cluster_id"}
+
+        def _min_label(t: pa.Table) -> pa.Table:
+            gb = pa.TableGroupBy(t, "conv_id", use_threads=False)
+            agg = gb.aggregate([("cluster_id", "min")])
+            return pa.table(
+                {
+                    "conv_id": agg.column("conv_id"),
+                    "cluster_id": agg.column("cluster_id_min"),
+                }
+            )
+
+        return grouped_partitions(
+            both, "conv_id", _min_label,
+            sized_parallelism(cp.manifest("signatures")["rows"], 100_000),
         )
 
     clusters = cp.run("clusters", fp_edges, _build_clusters)

@@ -86,6 +86,16 @@ def _exact_dedup_partition(t: pa.Table) -> pa.Table:
                     ),
                 ]
             ),
+            "scorer_shingles": pa.concat_arrays(
+                [
+                    reps.column("scorer_shingles")
+                    .combine_chunks()
+                    .cast(pa.list_(pa.uint64())),
+                    pa.ListArray.from_arrays(
+                        np.zeros(n_e + 1, np.int32), pa.array([], pa.uint64())
+                    ),
+                ]
+            ),
             "simhash": pa.concat_arrays(
                 [reps.column("simhash").combine_chunks(), pa.nulls(n_e, pa.uint64())]
             ),

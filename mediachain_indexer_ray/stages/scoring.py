@@ -54,27 +54,44 @@ class PairScorer:
         # prefilter + text attach itself — three pipeline stages folded into
         # the actor pool, no intermediate block materialization
         self._lut_keys = self._lut_texts = None
+        self._lut_sh_off = self._lut_sh_val = None
         if lut_ref is not None:
             lut = ray.get(lut_ref)
             self._lut_keys = np.asarray(lut.column("key").to_numpy())
             self._lut_texts = lut.column("feature_text")
+            sh = lut.column("scorer_shingles").combine_chunks()
+            self._lut_sh_off = np.asarray(sh.offsets.to_numpy())
+            self._lut_sh_val = np.asarray(sh.values.to_numpy())
+        self._empty_set = np.empty(0, np.uint64)
 
-    def _attach_texts(self, b: pa.Table) -> pa.Table:
+    def _attach_texts(self, b: pa.Table):
+        """Gather feature text + PRECOMPUTED shingle sets for both endpoints
+        from the broadcast LUT (zero-copy slices — no re-shingling, no cache).
+        Returns (batch+text columns, sets_a, sets_b)."""
         import pyarrow.compute as pc
 
         from mediachain_indexer_ray.functions.hashing import hash_strings
 
-        cols = []
+        cols, sets = [], []
+        off, val, empty = self._lut_sh_off, self._lut_sh_val, self._empty_set
         for col in ("a", "b"):
             h = hash_strings(b.column(col).combine_chunks(), seed=0x1D)
             if len(self._lut_keys) == 0:
                 cols.append(pa.array([""] * b.num_rows, pa.string()))
+                sets.append([empty] * b.num_rows)
                 continue
             pos = np.clip(np.searchsorted(self._lut_keys, h), 0, len(self._lut_keys) - 1)
             hit = self._lut_keys[pos] == h
             idx = pa.array(pos, pa.int64(), mask=~hit)
             cols.append(pc.fill_null(self._lut_texts.take(idx), ""))
-        return b.append_column("text_a", cols[0]).append_column("text_b", cols[1])
+            sets.append(
+                [
+                    val[off[p] : off[p + 1]] if ok else empty
+                    for p, ok in zip(pos, hit)
+                ]
+            )
+        out = b.append_column("text_a", cols[0]).append_column("text_b", cols[1])
+        return out, sets[0], sets[1]
 
     def _sets_for(self, ids: list, texts: pa.Array) -> list[np.ndarray]:
         """conv_id → sorted-unique sampled shingle-hash set, cached per actor;
@@ -101,6 +118,7 @@ class PairScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        sets_a = sets_b = None
         if self._lut_keys is not None and "text_a" not in batch.column_names:
             # fused prefilter + attach (cheap, vectorized; SURVEY.md F1/J2)
             ham = hamming64(
@@ -108,7 +126,7 @@ class PairScorer:
                 batch.column("simhash_b").to_numpy(),
             )
             batch = batch.filter(pa.array(ham <= cfg.simhash_prefilter_bits))
-            batch = self._attach_texts(batch)
+            batch, sets_a, sets_b = self._attach_texts(batch)
         n = batch.num_rows
         if n == 0:
             return _empty_scored()
@@ -123,10 +141,10 @@ class PairScorer:
         #      banded-Levenshtein DP kernels and the full weighted score.
         # Hot viral blocks are dominated by clear accepts/rejects, so the DP
         # work is O(borderline), not O(pairs).
-        jac = jaccard_from_sets(
-            self._sets_for(batch.column("a").to_pylist(), ta),
-            self._sets_for(batch.column("b").to_pylist(), tb),
-        )
+        if sets_a is None:  # join path: shingle on demand, cached per actor
+            sets_a = self._sets_for(batch.column("a").to_pylist(), ta)
+            sets_b = self._sets_for(batch.column("b").to_pylist(), tb)
+        jac = jaccard_from_sets(sets_a, sets_b)
         cos = simhash_cosine(
             batch.column("simhash_a").to_numpy(), batch.column("simhash_b").to_numpy()
         )
@@ -183,7 +201,9 @@ def _empty_scored() -> pa.Table:
     )
 
 
-BROADCAST_MAX_ROWS = 200_000  # feature-text side ≲ 400MB → broadcast
+BROADCAST_MAX_ROWS = 2_000_000  # LUT ≲ ~10 GB plasma (one zero-copy object
+                                # per node); beyond this the shuffle join path
+                                # attaches texts instead
 
 
 def attach_pair_texts(
@@ -269,16 +289,18 @@ def build_text_lut_ref(checkpoint_dir: str):
 
     from mediachain_indexer_ray.functions.hashing import hash_strings
 
-    t = pq.read_table(checkpoint_dir, columns=["kind", "conv_id", "feature_text"])
+    t = pq.read_table(
+        checkpoint_dir, columns=["kind", "conv_id", "feature_text", "scorer_shingles"]
+    )
     t = t.filter(pc.equal(t.column("kind"), 0))
     key = hash_strings(t.column("conv_id").combine_chunks(), seed=0x1D)
     order = np.argsort(key)
+    take = pa.array(order)
     lut = pa.table(
         {
             "key": pa.array(key[order]),
-            "feature_text": t.column("feature_text").combine_chunks().take(
-                pa.array(order)
-            ),
+            "feature_text": t.column("feature_text").combine_chunks().take(take),
+            "scorer_shingles": t.column("scorer_shingles").combine_chunks().take(take),
         }
     )
     return ray.put(lut)

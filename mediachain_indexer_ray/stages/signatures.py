@@ -38,6 +38,22 @@ def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     n_shingles = np.diff(bnd).astype(np.int32)
 
     feature_text = pc.utf8_slice_codeunits(norm, 0, cfg.feature_text_max_chars)
+
+    # precompute the SCORER's sampled shingle sets here, once per conversation
+    # (sorted-unique 48-bit hashes over feature_text): the pairwise reranker
+    # then computes Jaccard by set merge without ever re-shingling text —
+    # O(conversations) shingling instead of O(candidate pairs)
+    from mediachain_indexer_ray.functions.strsim import shingle_sets
+
+    ssets = shingle_sets(
+        as_array(feature_text), cfg.shingle_k, cfg.scorer_sample_mod
+    )
+    s_offsets = np.zeros(batch.num_rows + 1, np.int32)
+    np.cumsum([len(s) for s in ssets], out=s_offsets[1:])
+    s_flat = (
+        np.concatenate(ssets) if s_offsets[-1] else np.empty(0, np.uint64)
+    )
+
     return pa.table(
         {
             "conv_id": conv_id,
@@ -54,6 +70,9 @@ def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
             "simhash": pa.array(simh),
             "n_shingles": pa.array(n_shingles),
             "feature_text": feature_text.cast(pa.string()),
+            "scorer_shingles": pa.ListArray.from_arrays(
+                pa.array(s_offsets, pa.int32()), pa.array(s_flat)
+            ),
         }
     )
 
