@@ -108,18 +108,29 @@ def connected_components(
     """
     cur = _edges_to_initial(edges)
     cur = checkpoint("closure_r0", cur) if checkpoint is not None else cur.materialize()
-    prev_sig = None
+    prev_sig: tuple[int, int] | None = None
+    prev_count = -1
     P = cfg.num_hash_partitions or num_parts
     for rnd in range(1, cfg.closure_max_rounds + 1):
         nxt = grouped_partitions(cur, "u", _hash_to_min_round, P)
         # each round's frontier is consumed twice (checksum + next round) and
         # feeds an iterative chain — materialize to stop lineage re-execution
         nxt = checkpoint(f"closure_r{rnd}", nxt) if checkpoint is not None else nxt.materialize()
-        sig = _checksum(nxt)
-        if sig == prev_sig:
-            cur = nxt
-            break
-        prev_sig = sig
+        # count() on a materialized dataset is free metadata; the checksum is
+        # a (cheap but nonzero) extra job — only run it when the count matches
+        # the previous round, a necessary condition for set equality
+        count = nxt.count()
+        if count == prev_count:
+            if prev_sig is None:  # lazily checksum the PREVIOUS round
+                prev_sig = _checksum(cur)
+            sig = _checksum(nxt)
+            if sig == prev_sig:
+                cur = nxt
+                break
+            prev_sig = sig
+        else:
+            prev_sig = None
+        prev_count = count
         cur = nxt
 
     def _labels(t: pa.Table) -> pa.Table:

@@ -102,7 +102,13 @@ class CheckpointManager:
             shutil.rmtree(out_dir)
 
         t0 = time.time()
-        ds = build()
+        # materialize into the object store FIRST, then write the checkpoint
+        # from the materialized blocks and hand the plasma-backed dataset to
+        # the next stage: the disk write is for RESUME, not for the critical
+        # path — re-reading every stage's output from disk serialized each
+        # stage boundary behind checkpoint I/O (object-store spilling covers
+        # the does-not-fit-in-memory case)
+        ds = build().materialize()
         tmp = out_dir + f".tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp, exist_ok=True)
         # bounded file sizes AND small row groups: the row group is the atom a
@@ -136,7 +142,7 @@ class CheckpointManager:
         self.events.append(
             {"stage": name, "action": "run", "rows": rows, "wall_sec": man["wall_sec"]}
         )
-        return read_checkpoint(out_dir)
+        return ds  # plasma-backed; resume path re-reads from disk instead
 
     def manifest(self, name: str) -> dict:
         with open(os.path.join(self.stage_dir(name), MANIFEST)) as f:
