@@ -205,6 +205,44 @@ def jaccard_from_sets(sets_a: list[np.ndarray], sets_b: list[np.ndarray]) -> np.
     return np.where(union == 0, 1.0, out)  # both empty → identical
 
 
+def jaccard_from_lut(
+    off: np.ndarray,
+    val: np.ndarray,
+    pos_a: np.ndarray,
+    hit_a: np.ndarray,
+    pos_b: np.ndarray,
+    hit_b: np.ndarray,
+) -> np.ndarray:
+    """Jaccard for pairs whose shingle sets live in a shared (offsets, values)
+    LUT, addressed by per-side row indices — fully vectorized gather (no
+    python per-pair loop). Misses (hit=False) behave as empty sets."""
+    n = len(pos_a)
+    if n == 0:
+        return np.empty(0, np.float64)
+    if n >= (1 << 16):
+        raise ValueError("jaccard_from_lut: batch too large for 48-bit packing")
+
+    def flat(pos, hit):
+        counts = np.where(hit, off[pos + 1] - off[pos], 0).astype(np.int64)
+        total = int(counts.sum())
+        cum = np.zeros(n, np.int64)
+        np.cumsum(counts[:-1], out=cum[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        f = val[np.repeat(off[pos].astype(np.int64), counts) + within]
+        rows = np.repeat(np.arange(n, dtype=np.uint64), counts)
+        return (rows << np.uint64(48)) | f, counts
+
+    ka, ca = flat(pos_a, hit_a)
+    kb, cb = flat(pos_b, hit_b)
+    both = np.sort(np.concatenate([ka, kb]))
+    dup = both[1:] == both[:-1]
+    inter = np.bincount((both[1:][dup] >> np.uint64(48)).astype(np.int64), minlength=n)
+    union = ca + cb - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = inter / union
+    return np.where(union == 0, 1.0, out)
+
+
 def shingle_sets(
     arr, k: int, sample_mod: int = 1
 ) -> list[np.ndarray]:

@@ -1,0 +1,269 @@
+"""Incremental re-dedupe of a corpus delta (SURVEY.md §2.9 stretch goal).
+
+The reference re-runs ``dedupe_reindex`` over the whole index when new media
+arrive (``[ref: mc_models.py — unverified]``); at 10^12-turn scale a full
+re-run per delta is untenable. This pipeline deduplicates ONLY a delta of new
+conversations against an existing completed run:
+
+    delta transcripts ─ assemble → signatures                 (delta only)
+      → exact dedup of delta against existing digests         (broadcast)
+      → bands for delta ∪ bands for existing reps             (recomputed map;
+        band emission is cheap relative to scoring)
+      → [shuffle band_key] pair emission restricted to pairs
+        TOUCHING ≥1 delta conversation                        (old×old pairs
+        were already scored — never re-scored)
+      → score delta pairs (actor pool, broadcast texts over both sides)
+      → closure over (existing accepted edges ∪ delta edges)
+      → merged clusters
+
+Partitioning assumption: same Config (hash seeds, bands) as the base run —
+the checkpoint config-hash is verified before reuse.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from mediachain_indexer_ray.config import Config, sized_parallelism
+from mediachain_indexer_ray.sources.transcripts import read_transcripts
+from mediachain_indexer_ray.stages.assemble import assemble
+from mediachain_indexer_ray.stages.blocking import (
+    dedup_pairs,
+    emit_bands,
+    split_exact_dedup,
+)
+from mediachain_indexer_ray.stages.closure import connected_components
+from mediachain_indexer_ray.stages.partition import grouped_partitions
+from mediachain_indexer_ray.stages.scoring import score_pairs
+from mediachain_indexer_ray.stages.signatures import signatures
+from mediachain_indexer_ray.state.checkpoint import CheckpointManager, read_checkpoint
+
+
+def _emit_delta_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
+    """Within a band bucket: emit canonical pairs where ≥1 endpoint is new."""
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        t, sort_keys=[("band_key", "ascending"), ("conv_id", "ascending")]
+    )
+    t = t.take(idx)
+    keys = t.column("band_key").to_numpy()
+    conv = t.column("conv_id").to_pandas().to_numpy()
+    simh = t.column("simhash").to_numpy()
+    is_new = t.column("is_new").to_numpy(zero_copy_only=False)
+    n = len(keys)
+    first = np.ones(n, bool)
+    if n > 1:
+        np.not_equal(keys[1:], keys[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    ends = np.append(starts[1:], n)
+    a_idx, b_idx = [], []
+    cap = cfg.max_pairs_per_block
+    for s, e in zip(starts, ends):
+        size = e - s
+        if size < 2 or not is_new[s:e].any():
+            continue
+        ii, jj = np.triu_indices(size, 1)
+        touch_new = is_new[s + ii] | is_new[s + jj]
+        ii, jj = ii[touch_new][:cap], jj[touch_new][:cap]
+        a_idx.append(s + ii)
+        b_idx.append(s + jj)
+    if not a_idx:
+        return pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "simhash_a": pa.array([], pa.uint64()),
+                "simhash_b": pa.array([], pa.uint64()),
+                "truncated": pa.array([], pa.int64()),
+            }
+        )
+    ai, bi = np.concatenate(a_idx), np.concatenate(b_idx)
+    a_s, b_s = conv[ai], conv[bi]
+    swap = a_s > b_s
+    return pa.table(
+        {
+            "a": pa.array(np.where(swap, b_s, a_s), pa.string()),
+            "b": pa.array(np.where(swap, a_s, b_s), pa.string()),
+            "simhash_a": pa.array(np.where(swap, simh[bi], simh[ai])),
+            "simhash_b": pa.array(np.where(swap, simh[ai], simh[bi])),
+            "truncated": pa.array(np.zeros(len(ai), np.int64)),
+        }
+    )
+
+
+def incremental_dedupe(
+    delta_transcripts_path: str,
+    base_work_dir: str,
+    cfg: Config,
+    out_work_dir: str,
+) -> dict[str, ray.data.Dataset]:
+    """Dedupe `delta_transcripts_path` against the completed run in
+    `base_work_dir`; writes merged artifacts under `out_work_dir`."""
+    import pyarrow.compute as pc
+
+    base = CheckpointManager(base_work_dir, cfg.content_hash())
+    for stage in ("exact_dedup", "edges"):
+        man = base.manifest(stage)
+        if man["config_hash"] != cfg.content_hash():
+            raise ValueError(
+                f"base run stage {stage!r} was built with a different config; "
+                "incremental dedupe requires identical hash/band parameters"
+            )
+
+    cp = CheckpointManager(out_work_dir, cfg.content_hash())
+    n_delta = None
+
+    fp_in = cp.input_fingerprint(delta_transcripts_path)
+    convs = cp.run(
+        "delta_conversations",
+        fp_in,
+        lambda: assemble(read_transcripts(delta_transcripts_path), cfg),
+    )
+    fp_convs = cp.input_fingerprint("delta_conversations")
+    delta_sigs = cp.run("delta_signatures", fp_convs, lambda: signatures(convs, cfg))
+    n_delta = cp.manifest("delta_signatures")["rows"]
+
+    # existing representatives (kind=0 rows of the base exact_dedup checkpoint)
+    old_mixed = read_checkpoint(base.stage_dir("exact_dedup"))
+    old_reps, _ = split_exact_dedup(old_mixed)
+
+    def _tag(is_new: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "is_new", pa.array(np.full(b.num_rows, is_new))
+            )
+
+        return _f
+
+    cols = ["conv_id", "digest", "minhash", "simhash", "feature_text",
+            "scorer_shingles"]
+    both = old_reps.select_columns(cols).map_batches(
+        _tag(False), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        delta_sigs.select_columns(cols).map_batches(
+            _tag(True), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    n_base_reps = base.manifest("exact_dedup")["rows"]
+    P_bands = sized_parallelism((n_base_reps + n_delta) * cfg.num_bands, 250_000)
+
+    def _build_pairs():
+        bands = emit_bands(both, cfg)
+        # re-attach is_new: delta conv ids are few — broadcast their hash set
+        from mediachain_indexer_ray.functions.hashing import hash_strings
+
+        delta_ids = delta_sigs.select_columns(["conv_id"]).map_batches(
+            lambda b: pa.table(
+                {"h": pa.array(hash_strings(b.column("conv_id").combine_chunks()))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()["h"].to_numpy()
+        ids_ref = ray.put(np.sort(delta_ids))
+
+        def _flag(b: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            h = hash_strings(b.column("conv_id").combine_chunks())
+            if len(ids):
+                pos = np.clip(np.searchsorted(ids, h), 0, len(ids) - 1)
+                new = ids[pos] == h
+            else:
+                new = np.zeros(len(h), bool)
+            return b.append_column("is_new", pa.array(new))
+
+        flagged = bands.map_batches(_flag, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        raw = grouped_partitions(
+            flagged, "band_key",
+            lambda t: _emit_delta_pairs_partition(t, cfg), P_bands,
+        )
+        return dedup_pairs(raw, cfg, num_parts=P_bands)
+
+    fp_pairs = cp.input_fingerprint("delta_signatures")
+    pairs = cp.run("delta_pairs", fp_pairs, _build_pairs)
+
+    # score: broadcast LUT over old reps + delta signatures
+    def _build_scored():
+        from mediachain_indexer_ray.functions.hashing import hash_strings
+
+        import pyarrow.parquet as pq
+
+        tabs = []
+        for d in (base.stage_dir("exact_dedup"), cp.stage_dir("delta_signatures")):
+            t = pq.read_table(d, columns=None)
+            if "kind" in t.column_names:
+                t = t.filter(pc.equal(t.column("kind"), 0))
+            tabs.append(
+                t.select(["conv_id", "feature_text", "scorer_shingles"])
+            )
+        t = pa.concat_tables(tabs).combine_chunks()
+        key = hash_strings(t.column("conv_id").combine_chunks(), seed=0x1D)
+        order = pa.array(np.argsort(key))
+        lut = pa.table(
+            {
+                "key": pa.array(np.sort(key)),
+                "feature_text": t.column("feature_text").combine_chunks().take(order),
+                "scorer_shingles": t.column("scorer_shingles").combine_chunks().take(order),
+            }
+        )
+        return score_pairs(pairs, cfg, lut_ref=ray.put(lut))
+
+    fp_scored = cp.input_fingerprint("delta_pairs")
+    scored = cp.run("delta_pairs_scored", fp_scored, _build_scored)
+
+    # merged edges: base accepted ∪ delta accepted ∪ delta exact-dup edges
+    def _build_edges():
+        accepted = scored.filter(expr="accepted == True").select_columns(["a", "b"])
+        old_edges = read_checkpoint(base.stage_dir("edges"))
+        # delta exact dups against existing digests ride through LSH bands
+        # (identical content shares every band), so no digest join is needed
+        return accepted.union(old_edges)
+
+    fp_edges = cp.input_fingerprint("delta_pairs_scored")
+    edges = cp.run("edges", fp_edges, _build_edges)
+
+    def _build_clusters():
+        n_edges = cp.manifest("edges")["rows"]
+        comp = connected_components(
+            edges, cfg, num_parts=sized_parallelism(2 * n_edges, 100_000)
+        )
+        ids = both.select_columns(["conv_id"])
+
+        def _self(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"conv_id": b.column("conv_id"), "cluster_id": b.column("conv_id")}
+            )
+
+        selfs = ids.map_batches(_self, batch_format="pyarrow", zero_copy_batch=True)
+
+        def _min_label(t: pa.Table) -> pa.Table:
+            gb = pa.TableGroupBy(t, "conv_id", use_threads=False)
+            agg = gb.aggregate([("cluster_id", "min")])
+            return pa.table(
+                {
+                    "conv_id": agg.column("conv_id"),
+                    "cluster_id": agg.column("cluster_id_min"),
+                }
+            )
+
+        return grouped_partitions(
+            comp.union(selfs), "conv_id", _min_label,
+            sized_parallelism(n_base_reps + n_delta, 100_000),
+        )
+
+    fp_cl = cp.input_fingerprint("edges")
+    clusters = cp.run("clusters", fp_cl, _build_clusters)
+
+    return {
+        "delta_signatures": delta_sigs,
+        "pairs": scored,
+        "edges": edges,
+        "clusters": clusters,
+        "_checkpoints": cp,  # type: ignore[dict-item]
+    }

@@ -22,6 +22,7 @@ import ray.data
 from mediachain_indexer_ray.config import Config
 from mediachain_indexer_ray.functions.simhash import hamming64, simhash_cosine
 from mediachain_indexer_ray.functions.strsim import (
+    jaccard_from_lut,
     jaccard_from_sets,
     jaro_winkler_batch,
     levenshtein_ratio_batch,
@@ -65,33 +66,28 @@ class PairScorer:
         self._empty_set = np.empty(0, np.uint64)
 
     def _attach_texts(self, b: pa.Table):
-        """Gather feature text + PRECOMPUTED shingle sets for both endpoints
-        from the broadcast LUT (zero-copy slices — no re-shingling, no cache).
-        Returns (batch+text columns, sets_a, sets_b)."""
+        """Gather feature text + LUT row positions for both endpoints from the
+        broadcast LUT (zero-copy; no re-shingling, no per-pair python loop).
+        Returns (batch+text columns, (pos_a, hit_a), (pos_b, hit_b))."""
         import pyarrow.compute as pc
 
         from mediachain_indexer_ray.functions.hashing import hash_strings
 
-        cols, sets = [], []
-        off, val, empty = self._lut_sh_off, self._lut_sh_val, self._empty_set
+        cols, locs = [], []
         for col in ("a", "b"):
             h = hash_strings(b.column(col).combine_chunks(), seed=0x1D)
             if len(self._lut_keys) == 0:
                 cols.append(pa.array([""] * b.num_rows, pa.string()))
-                sets.append([empty] * b.num_rows)
+                locs.append((np.zeros(b.num_rows, np.int64),
+                             np.zeros(b.num_rows, bool)))
                 continue
             pos = np.clip(np.searchsorted(self._lut_keys, h), 0, len(self._lut_keys) - 1)
             hit = self._lut_keys[pos] == h
             idx = pa.array(pos, pa.int64(), mask=~hit)
             cols.append(pc.fill_null(self._lut_texts.take(idx), ""))
-            sets.append(
-                [
-                    val[off[p] : off[p + 1]] if ok else empty
-                    for p, ok in zip(pos, hit)
-                ]
-            )
+            locs.append((pos, hit))
         out = b.append_column("text_a", cols[0]).append_column("text_b", cols[1])
-        return out, sets[0], sets[1]
+        return out, locs[0], locs[1]
 
     def _sets_for(self, ids: list, texts: pa.Array) -> list[np.ndarray]:
         """conv_id → sorted-unique sampled shingle-hash set, cached per actor;
@@ -118,7 +114,7 @@ class PairScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        sets_a = sets_b = None
+        loc_a = loc_b = None
         if self._lut_keys is not None and "text_a" not in batch.column_names:
             # fused prefilter + attach (cheap, vectorized; SURVEY.md F1/J2)
             ham = hamming64(
@@ -126,7 +122,7 @@ class PairScorer:
                 batch.column("simhash_b").to_numpy(),
             )
             batch = batch.filter(pa.array(ham <= cfg.simhash_prefilter_bits))
-            batch, sets_a, sets_b = self._attach_texts(batch)
+            batch, loc_a, loc_b = self._attach_texts(batch)
         n = batch.num_rows
         if n == 0:
             return _empty_scored()
@@ -141,10 +137,16 @@ class PairScorer:
         #      banded-Levenshtein DP kernels and the full weighted score.
         # Hot viral blocks are dominated by clear accepts/rejects, so the DP
         # work is O(borderline), not O(pairs).
-        if sets_a is None:  # join path: shingle on demand, cached per actor
-            sets_a = self._sets_for(batch.column("a").to_pylist(), ta)
-            sets_b = self._sets_for(batch.column("b").to_pylist(), tb)
-        jac = jaccard_from_sets(sets_a, sets_b)
+        if loc_a is not None:
+            jac = jaccard_from_lut(
+                self._lut_sh_off, self._lut_sh_val,
+                loc_a[0], loc_a[1], loc_b[0], loc_b[1],
+            )
+        else:  # join path: shingle on demand, cached per actor
+            jac = jaccard_from_sets(
+                self._sets_for(batch.column("a").to_pylist(), ta),
+                self._sets_for(batch.column("b").to_pylist(), tb),
+            )
         cos = simhash_cosine(
             batch.column("simhash_a").to_numpy(), batch.column("simhash_b").to_numpy()
         )

@@ -1,0 +1,74 @@
+"""Incremental re-dedupe (SURVEY.md §2.9): a delta deduped against a base run
+must produce the same clusters as a full re-run over the union corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mediachain_indexer_ray.config import Config
+from mediachain_indexer_ray.fixtures import FixtureSpec, write_corpus
+from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
+from mediachain_indexer_ray.pipelines.incremental import incremental_dedupe
+
+
+@pytest.fixture(scope="module")
+def split_corpus(tmp_path_factory):
+    """One corpus split into base (first 70% of conversations) + delta (rest),
+    so delta conversations include near-dups of base conversations."""
+    d = tmp_path_factory.mktemp("inc")
+    full_dir = str(d / "full")
+    write_corpus(FixtureSpec(n_base=60, viral_fanout=10), full_dir,
+                 shuffle_rows=True)
+    t = pq.read_table(f"{full_dir}/transcripts.parquet")
+    convs = sorted(set(t.column("conv_id").to_pylist()))
+    cut = int(len(convs) * 0.7)
+    base_ids = set(convs[:cut])
+    import pyarrow.compute as pc
+
+    mask = pc.is_in(t.column("conv_id"), pa.array(list(base_ids)))
+    base_t, delta_t = t.filter(mask), t.filter(pc.invert(mask))
+    base_p = str(d / "base.parquet")
+    delta_p = str(d / "delta.parquet")
+    pq.write_table(base_t, base_p)
+    pq.write_table(delta_t, delta_p)
+    return full_dir, base_p, delta_p, str(d)
+
+
+def _partition(df: pd.DataFrame) -> set[frozenset]:
+    groups = df.groupby("cluster_id")["conv_id"].apply(frozenset)
+    return set(groups[groups.apply(len) > 1])
+
+
+def test_incremental_matches_full_rerun(split_corpus, ray_session):
+    full_dir, base_p, delta_p, work = split_corpus
+    cfg = Config(work_dir=os.path.join(work, "w_base"))
+
+    dedupe_pipeline(base_p, cfg)
+
+    out = incremental_dedupe(
+        delta_p, cfg.work_dir, cfg, os.path.join(work, "w_inc")
+    )
+    inc = out["clusters"].to_pandas()
+
+    cfg_full = Config(work_dir=os.path.join(work, "w_full"))
+    full = dedupe_pipeline(
+        f"{full_dir}/transcripts.parquet", cfg_full
+    )["clusters"].to_pandas()
+
+    assert _partition(inc) == _partition(full)
+    # every conversation appears exactly once
+    assert inc["conv_id"].is_unique
+    assert set(inc["conv_id"]) == set(full["conv_id"])
+
+
+def test_incremental_rejects_mismatched_config(split_corpus, ray_session):
+    _, base_p, delta_p, work = split_corpus
+    cfg = Config(work_dir=os.path.join(work, "w_base"))
+    bad = cfg.with_(shingle_k=7, work_dir=cfg.work_dir)
+    with pytest.raises((ValueError, FileNotFoundError)):
+        incremental_dedupe(delta_p, cfg.work_dir, bad, os.path.join(work, "w_bad"))
