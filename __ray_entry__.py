@@ -101,6 +101,48 @@ def _flagship_fixture(sf_dir: str):
     return out["clusters"]
 
 
+def _dupe_lookup(sf_dir: str):
+    """Point dupe-lookup (reference /dupe_lookup) over the fixture flagship's
+    clusters: queries = first 10 conv ids with a non-singleton cluster."""
+    from mediachain_indexer_ray.pipelines.lookup import dupe_lookup
+
+    clusters = _flagship_fixture(sf_dir)  # ensures the run exists (cached)
+    df = clusters.to_pandas()
+    sizes = df.groupby("cluster_id")["conv_id"].transform("size")
+    qs = sorted(df[sizes > 1]["conv_id"])[:10]
+    sf = 0.01 if "sf0.01" in sf_dir else (0.001 if "sf0.001" in sf_dir else 0.1)
+    n_base = max(60, int(2000 * sf))
+    work = f"/tmp/mcray_fixture_{n_base}_42/work"
+    return dupe_lookup(work, qs)
+
+
+def _dedupe_eval(sf_dir: str):
+    """Reference mc_eval semantics: P/R/F1 on labeled pairs at shared blocking
+    keys over the fixture corpus (rows-only; floats are milli-integerized)."""
+    import pandas as pd
+
+    from mediachain_indexer_ray.config import Config
+    from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
+    from mediachain_indexer_ray.pipelines.evaluate import evaluate_clusters
+
+    sf = 0.01 if "sf0.01" in sf_dir else (0.001 if "sf0.001" in sf_dir else 0.1)
+    n_base = max(60, int(2000 * sf))
+    d = f"/tmp/mcray_fixture_{n_base}_42"
+    _flagship_fixture(sf_dir)  # ensures corpus + run exist (cached)
+    cfg = Config(work_dir=f"{d}/work")
+    out = dedupe_pipeline(f"{d}/transcripts.parquet", cfg)
+    labels = pd.read_parquet(f"{d}/labels.parquet")
+    m = evaluate_clusters(labels, out["clusters"], out["pairs"], out["signatures"])
+    return pa.table(
+        {
+            "precision_milli": pa.array([int(m["precision"] * 1000)]),
+            "recall_milli": pa.array([int(m["recall"] * 1000)]),
+            "f1_milli": pa.array([int(m["f1"] * 1000)]),
+            "n_eligible": pa.array([m["n_eligible"]]),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _flagship("/root/testdata/sf0.001")
@@ -153,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dedupe_transcripts": _flagship_fixture,
         "dedupe_events_flagship": _flagship,
+        "dupe_lookup": _dupe_lookup,
+        "dedupe_eval": _dedupe_eval,
     }
 
 

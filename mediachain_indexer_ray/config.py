@@ -20,7 +20,7 @@ class Config:
     seed: int = 42
     # bumped on breaking checkpoint-schema changes so stale checkpoints from
     # older engine versions are rebuilt, not reused (folds into content_hash)
-    engine_schema_version: int = 2
+    engine_schema_version: int = 3
 
     # ---- model selection (SURVEY.md X1: reference duplicate_mode) ----------
     duplicate_mode: str = "baseline_ng"   # "baseline" | "baseline_ng"
@@ -61,7 +61,10 @@ class Config:
     fast_accept_jaccard: float = 0.62
     fast_reject_jaccard: float = 0.15
     fast_reject_cosine: float = 0.85
-    scorer_sample_mod: int = 4  # shingle sampling for the scorer's Jaccard
+    scorer_sample_mod: int = 8  # shingle sampling for the scorer's Jaccard
+                                # (content-defined → unbiased; ~256-element
+                                # sets keep estimator σ ≈ 0.03, half the
+                                # gather/sort traffic of mod 4)
     w_jaccard: float = 0.35     # n-gram Jaccard weight
     w_cosine: float = 0.15      # SimHash-cosine weight
     w_jw: float = 0.15          # Jaro-Winkler weight

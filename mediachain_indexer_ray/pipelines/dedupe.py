@@ -135,7 +135,7 @@ def dedupe_pipeline(
                 # broadcast path: prefilter + text attach FUSED into the scorer
                 # actors; the LUT is built driver-side straight from the
                 # checkpoint parquet (no extra Ray job) and plasma-shared
-                lut_ref = build_text_lut_ref(cp.stage_dir("exact_dedup"))
+                lut_ref = build_text_lut_ref(cp.stage_dir("exact_dedup"), cfg)
                 return score_pairs(
                     pairs, cfg, scorer_cls=model.scorer_cls, lut_ref=lut_ref
                 )

@@ -205,10 +205,17 @@ def incremental_dedupe(
         t = pa.concat_tables(tabs).combine_chunks()
         key = hash_strings(t.column("conv_id").combine_chunks(), seed=0x1D)
         order = pa.array(np.argsort(key))
+        text = pc.utf8_slice_codeunits(
+            t.column("feature_text").combine_chunks(),
+            0,
+            max(cfg.jw_max_chars, cfg.lev_max_chars),
+        )
+        if isinstance(text, pa.ChunkedArray):  # pragma: no cover
+            text = text.combine_chunks()
         lut = pa.table(
             {
                 "key": pa.array(np.sort(key)),
-                "feature_text": t.column("feature_text").combine_chunks().take(order),
+                "feature_text": text.take(order),
                 "scorer_shingles": t.column("scorer_shingles").combine_chunks().take(order),
             }
         )

@@ -90,9 +90,9 @@ def _exact_dedup_partition(t: pa.Table) -> pa.Table:
                 [
                     reps.column("scorer_shingles")
                     .combine_chunks()
-                    .cast(pa.list_(pa.uint64())),
+                    .cast(pa.list_(pa.uint32())),
                     pa.ListArray.from_arrays(
-                        np.zeros(n_e + 1, np.int32), pa.array([], pa.uint64())
+                        np.zeros(n_e + 1, np.int32), pa.array([], pa.uint32())
                     ),
                 ]
             ),

@@ -63,7 +63,6 @@ class PairScorer:
             sh = lut.column("scorer_shingles").combine_chunks()
             self._lut_sh_off = np.asarray(sh.offsets.to_numpy())
             self._lut_sh_val = np.asarray(sh.values.to_numpy())
-        self._empty_set = np.empty(0, np.uint64)
 
     def _attach_texts(self, b: pa.Table):
         """Gather feature text + LUT row positions for both endpoints from the
@@ -281,16 +280,19 @@ def attach_pair_texts(
     )
 
 
-def build_text_lut_ref(checkpoint_dir: str):
-    """Broadcast LUT (sorted id-hash → feature_text) built DIRECTLY from the
-    exact_dedup checkpoint's parquet footers/columns — a driver-side
-    pq.read_table of two columns, no Ray job. Returns a plasma ref to the
-    Arrow table (zero-copy for every scorer actor)."""
+def build_text_lut_ref(checkpoint_dir: str, cfg: Config | None = None):
+    """Broadcast LUT (sorted id-hash → text prefix + shingle set) built
+    DIRECTLY from the exact_dedup checkpoint's parquet — a driver-side
+    pq.read_table, no Ray job. The text is truncated to what the JW /
+    Levenshtein kernels actually read (Jaccard uses the precomputed sets), so
+    the plasma object stays small. Returns a plasma ref (zero-copy for every
+    scorer actor)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from mediachain_indexer_ray.functions.hashing import hash_strings
 
+    text_cap = max(cfg.jw_max_chars, cfg.lev_max_chars) if cfg else 192
     t = pq.read_table(
         checkpoint_dir, columns=["kind", "conv_id", "feature_text", "scorer_shingles"]
     )
@@ -298,10 +300,15 @@ def build_text_lut_ref(checkpoint_dir: str):
     key = hash_strings(t.column("conv_id").combine_chunks(), seed=0x1D)
     order = np.argsort(key)
     take = pa.array(order)
+    text = pc.utf8_slice_codeunits(
+        t.column("feature_text").combine_chunks(), 0, text_cap
+    )
+    if isinstance(text, pa.ChunkedArray):  # pragma: no cover
+        text = text.combine_chunks()
     lut = pa.table(
         {
             "key": pa.array(key[order]),
-            "feature_text": t.column("feature_text").combine_chunks().take(take),
+            "feature_text": text.take(take),
             "scorer_shingles": t.column("scorer_shingles").combine_chunks().take(take),
         }
     )

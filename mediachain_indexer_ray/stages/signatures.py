@@ -51,7 +51,7 @@ def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     s_offsets = np.zeros(batch.num_rows + 1, np.int32)
     np.cumsum([len(s) for s in ssets], out=s_offsets[1:])
     s_flat = (
-        np.concatenate(ssets) if s_offsets[-1] else np.empty(0, np.uint64)
+        np.concatenate(ssets) if s_offsets[-1] else np.empty(0, np.uint32)
     )
 
     return pa.table(
