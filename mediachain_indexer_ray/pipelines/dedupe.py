@@ -68,7 +68,10 @@ def dedupe_pipeline(
     """Run (or resume) the full dedupe. Returns datasets for the key outputs:
     conversations, signatures, pairs (scored), clusters."""
     work = work_dir or cfg.work_dir
-    cp = CheckpointManager(work, cfg.content_hash())
+    # async checkpoint writes: the parquet lands on disk in the background
+    # while the next stage computes from the plasma-backed output; the
+    # manifest is written last, so resume never sees a partial checkpoint
+    cp = CheckpointManager(work, cfg.content_hash(), async_writes=True)
 
     # Partition counts are data-aware (rows from parquet metadata / upstream
     # manifests), capped at 2×cluster CPUs: at 100 TB every stage saturates the
@@ -128,14 +131,14 @@ def dedupe_pipeline(
         def _build_scored() -> ray.data.Dataset:
             from mediachain_indexer_ray.stages.scoring import (
                 BROADCAST_MAX_ROWS,
-                build_text_lut_ref,
+                build_text_lut_ref_from_reps,
             )
 
             if n_reps <= BROADCAST_MAX_ROWS:
                 # broadcast path: prefilter + text attach FUSED into the scorer
-                # actors; the LUT is built driver-side straight from the
-                # checkpoint parquet (no extra Ray job) and plasma-shared
-                lut_ref = build_text_lut_ref(cp.stage_dir("exact_dedup"), cfg)
+                # actors; the LUT is built from the plasma-backed reps (one
+                # parallel select job) and plasma-shared
+                lut_ref = build_text_lut_ref_from_reps(reps, cfg)
                 return score_pairs(
                     pairs, cfg, scorer_cls=model.scorer_cls, lut_ref=lut_ref
                 )
@@ -237,6 +240,7 @@ def dedupe_pipeline(
         )
 
     clusters = cp.run("clusters", fp_edges, _build_clusters)
+    cp.flush()  # join background checkpoint writes — durable before return
 
     return {
         "conversations": convs,

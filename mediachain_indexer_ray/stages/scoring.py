@@ -280,6 +280,45 @@ def attach_pair_texts(
     )
 
 
+def build_text_lut_ref_from_reps(reps: ray.data.Dataset, cfg: Config):
+    """Broadcast LUT built from the PLASMA-BACKED reps dataset (one parallel
+    select job + driver-side sort) — avoids waiting on the checkpoint's disk
+    write. Same layout as :func:`build_text_lut_ref`."""
+    import pyarrow.compute as pc
+
+    from mediachain_indexer_ray.functions.hashing import hash_strings
+
+    side = reps.select_columns(["conv_id", "feature_text", "scorer_shingles"])
+    tabs = [t for t in ray.get(side.to_arrow_refs()) if t.num_rows > 0]
+    if not tabs:
+        lut = pa.table(
+            {
+                "key": pa.array([], pa.uint64()),
+                "feature_text": pa.array([], pa.string()),
+                "scorer_shingles": pa.array([], pa.list_(pa.uint32())),
+            }
+        )
+        return ray.put(lut)
+    t = pa.concat_tables(tabs).combine_chunks()
+    key = hash_strings(t.column("conv_id").combine_chunks(), seed=0x1D)
+    order = pa.array(np.argsort(key))
+    text = pc.utf8_slice_codeunits(
+        t.column("feature_text").combine_chunks(),
+        0,
+        max(cfg.jw_max_chars, cfg.lev_max_chars),
+    )
+    if isinstance(text, pa.ChunkedArray):  # pragma: no cover
+        text = text.combine_chunks()
+    lut = pa.table(
+        {
+            "key": pa.array(np.sort(key)),
+            "feature_text": text.take(order),
+            "scorer_shingles": t.column("scorer_shingles").combine_chunks().take(order),
+        }
+    )
+    return ray.put(lut)
+
+
 def build_text_lut_ref(checkpoint_dir: str, cfg: Config | None = None):
     """Broadcast LUT (sorted id-hash → text prefix + shingle set) built
     DIRECTLY from the exact_dedup checkpoint's parquet — a driver-side

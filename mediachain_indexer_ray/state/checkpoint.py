@@ -58,12 +58,29 @@ def _dir_fingerprint(path: str) -> str:
 
 
 class CheckpointManager:
-    def __init__(self, work_dir: str, config_hash: str):
+    def __init__(self, work_dir: str, config_hash: str, *, async_writes: bool = False):
         self.work_dir = work_dir
         self.config_hash = config_hash
         self._manifest_hashes: dict[str, str] = {}
+        self._manifests_mem: dict[str, dict] = {}
+        self._pending: dict[str, "threading.Thread"] = {}
+        self.async_writes = async_writes
         self.events: list[dict] = []  # run log: hit/miss per stage
         os.makedirs(work_dir, exist_ok=True)
+
+    # -- async write support -------------------------------------------------
+    def wait(self, name: str | None = None) -> None:
+        """Join the background checkpoint write for `name` (or all)."""
+        import threading  # noqa: F401  (typing)
+
+        names = [name] if name else list(self._pending)
+        for n in names:
+            t = self._pending.pop(n, None)
+            if t is not None:
+                t.join()
+
+    def flush(self) -> None:
+        self.wait(None)
 
     # -- fingerprints --------------------------------------------------------
     def input_fingerprint(self, *parts: str) -> str:
@@ -109,18 +126,7 @@ class CheckpointManager:
         # stage boundary behind checkpoint I/O (object-store spilling covers
         # the does-not-fit-in-memory case)
         ds = build().materialize()
-        tmp = out_dir + f".tmp-{uuid.uuid4().hex[:8]}"
-        os.makedirs(tmp, exist_ok=True)
-        # bounded file sizes AND small row groups: the row group is the atom a
-        # parquet read can split on — a checkpoint written as a few
-        # one-row-group files collapses every downstream stage to ~2 read
-        # tasks no matter how many CPUs the cluster has
-        ds.write_parquet(tmp, max_rows_per_file=16384, row_group_size=1024)
-        rows = sum(
-            pq.read_metadata(os.path.join(tmp, f)).num_rows
-            for f in os.listdir(tmp)
-            if f.endswith(".parquet")
-        )
+        rows = ds.count()  # metadata on a materialized dataset — free
         man = {
             "stage": name,
             "fingerprint": fingerprint,
@@ -133,11 +139,32 @@ class CheckpointManager:
         man["manifest_hash"] = hashlib.sha256(
             json.dumps(man, sort_keys=True).encode()
         ).hexdigest()[:16]
-        with open(os.path.join(tmp, MANIFEST), "w") as f:
-            json.dump(man, f, indent=1)
-        if os.path.exists(out_dir):  # pragma: no cover — concurrent writer
-            shutil.rmtree(out_dir)
-        os.rename(tmp, out_dir)
+        tmp = out_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+
+        def _write() -> None:
+            os.makedirs(tmp, exist_ok=True)
+            # bounded file sizes AND small row groups: the row group is the
+            # atom a parquet read can split on — a checkpoint written as a few
+            # one-row-group files collapses every downstream stage to ~2 read
+            # tasks no matter how many CPUs the cluster has
+            ds.write_parquet(tmp, max_rows_per_file=16384, row_group_size=1024)
+            # the manifest is written LAST and the rename is atomic, so a
+            # partially-written checkpoint is never mistaken for complete
+            with open(os.path.join(tmp, MANIFEST), "w") as f:
+                json.dump(man, f, indent=1)
+            if os.path.exists(out_dir):  # pragma: no cover — concurrent writer
+                shutil.rmtree(out_dir)
+            os.rename(tmp, out_dir)
+
+        if self.async_writes:
+            import threading
+
+            t = threading.Thread(target=_write, name=f"ckpt-{name}", daemon=False)
+            t.start()
+            self._pending[name] = t
+        else:
+            _write()
+        self._manifests_mem[name] = man
         self._manifest_hashes[name] = man["manifest_hash"]
         self.events.append(
             {"stage": name, "action": "run", "rows": rows, "wall_sec": man["wall_sec"]}
@@ -145,5 +172,7 @@ class CheckpointManager:
         return ds  # plasma-backed; resume path re-reads from disk instead
 
     def manifest(self, name: str) -> dict:
+        if name in self._manifests_mem:  # async write may still be in flight
+            return self._manifests_mem[name]
         with open(os.path.join(self.stage_dir(name), MANIFEST)) as f:
             return json.load(f)
