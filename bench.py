@@ -191,25 +191,31 @@ def main_scaling() -> None:
     global BENCH_TURNS
     BENCH_TURNS = max(BENCH_TURNS, 2_000_000)  # amortize per-stage constants
     corpus, turns = _bench_corpus_path()
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     results = {}
     for cpus in SCALING_CPUS:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-        t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child-flagship",
-             corpus, f"/tmp/mcray_scale_work_{cpus}"],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        if proc.returncode != 0:
-            print(proc.stderr[-4000:], file=sys.stderr)
-            raise SystemExit(f"child run at {cpus} cpus failed")
-        child = json.loads(proc.stdout.strip().splitlines()[-1])
+        secs = []
+        for rep in range(repeats):  # best-of-N: this VM shows ~13% run-to-run
+            t0 = time.time()        # noise (steal / clock ramp) on identical runs
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child-flagship",
+                 corpus, f"/tmp/mcray_scale_work_{cpus}"],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-4000:], file=sys.stderr)
+                raise SystemExit(f"child run at {cpus} cpus failed")
+            child = json.loads(proc.stdout.strip().splitlines()[-1])
+            secs.append(child["sec"])
+            print(f"[scaling] {cpus} cpus rep {rep}: {child['sec']}s "
+                  f"(+startup {round(time.time()-t0-child['sec'],1)}s)",
+                  file=sys.stderr)
         results[cpus] = {
-            "sec": child["sec"],
-            "turns_per_sec": round(turns / child["sec"], 1),
-            "wall_incl_startup": round(time.time() - t0, 1),
+            "sec": min(secs),
+            "all_secs": secs,
+            "turns_per_sec": round(turns / min(secs), 1),
         }
-        print(f"[scaling] {cpus} cpus: {results[cpus]}", file=sys.stderr)
 
     lo, hi = SCALING_CPUS
     factor = hi / lo
