@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": Q.distinct_users,
         "exact_dedup_documents": Q.exact_dedup_documents,
         "sessionize_events": Q.sessionize_events,
+        "asof_events_orders": Q.asof_events_orders,
+        "rolling_event_counts": Q.rolling_event_counts,
         "text_search": Q.text_search,
         "sample_events": Q.sample_events,
         # text analysis (SQL oracles)
@@ -216,6 +218,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": Q.DISTINCT_USERS_SQL,
         "exact_dedup_documents": Q.EXACT_DEDUP_DOCUMENTS_SQL,
         "sessionize_events": Q.SESSIONIZE_EVENTS_SQL,
+        "asof_events_orders": Q.ASOF_EVENTS_ORDERS_SQL,
+        "rolling_event_counts": Q.ROLLING_EVENT_COUNTS_SQL,
         "text_search": Q.TEXT_SEARCH_SQL,
         "sample_events": Q.SAMPLE_EVENTS_SQL,
         "token_stats": Q.TOKEN_STATS_SQL,

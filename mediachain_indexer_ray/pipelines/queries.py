@@ -601,3 +601,82 @@ WITH d AS (
 )
 SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# as-of join (custom operator, stages/joins.py): each event -> latest order of
+# the same user at-or-before the event time
+# ---------------------------------------------------------------------------
+
+def asof_events_orders(sf_dir: str):
+    from mediachain_indexer_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return asof_join(
+        ev, od,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        out_col="last_order_us", num_parts=_PARTS,
+    )
+
+
+ASOF_EVENTS_ORDERS_SQL = """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       epoch_us(o.o_orderdate) AS last_order_us
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed (rolling range-frame) aggregate: per event, count of same-user
+# events in the trailing hour — RANGE BETWEEN 1 HOUR PRECEDING AND CURRENT ROW
+# ---------------------------------------------------------------------------
+
+def rolling_event_counts(sf_dir: str, window_minutes: int = 60):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    win_us = window_minutes * 60 * 1_000_000
+
+    def _fn(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        t = t.take(idx)
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "n_window": pa.array([], pa.int64())})
+        # composite (user-segment, ts-rank) encoding — vectorized range-frame
+        # bounds via searchsorted over the partition, no per-user Python loop.
+        # RANGE frame peers (equal ts) are included on both the current-row
+        # end (side="right") and the preceding end (side="left"), matching
+        # SQL RANGE ... PRECEDING AND CURRENT ROW semantics.
+        seg = np.zeros(n, np.int64)
+        seg[1:] = np.cumsum(uid[1:] != uid[:-1])
+        ut = np.unique(ts)
+        L = np.int64(len(ut) + 2)
+        comp = seg * L + np.searchsorted(ut, ts)
+        hi = np.searchsorted(comp, seg * L + np.searchsorted(ut, ts, side="right"))
+        lo = np.searchsorted(comp, seg * L + np.searchsorted(ut, ts - win_us))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "n_window": pa.array(hi - lo),
+            }
+        )
+
+    return grouped_partitions(ds, "user_id", _fn, _PARTS)
+
+
+ROLLING_EVENT_COUNTS_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                            AND CURRENT ROW) AS n_window
+FROM events
+"""
