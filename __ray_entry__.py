@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": Q.sessionize_events,
         "asof_events_orders": Q.asof_events_orders,
         "rolling_event_counts": Q.rolling_event_counts,
+        "range_join_events_orders": Q.range_join_events_orders,
         "text_search": Q.text_search,
         "sample_events": Q.sample_events,
         # text analysis (SQL oracles)
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": Q.SESSIONIZE_EVENTS_SQL,
         "asof_events_orders": Q.ASOF_EVENTS_ORDERS_SQL,
         "rolling_event_counts": Q.ROLLING_EVENT_COUNTS_SQL,
+        "range_join_events_orders": Q.RANGE_JOIN_EVENTS_ORDERS_SQL,
         "text_search": Q.TEXT_SEARCH_SQL,
         "sample_events": Q.SAMPLE_EVENTS_SQL,
         "token_stats": Q.TOKEN_STATS_SQL,

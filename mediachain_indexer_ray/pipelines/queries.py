@@ -680,3 +680,83 @@ SELECT event_id, user_id,
                             AND CURRENT ROW) AS n_window
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join: events x orders of the same user with o_orderdate in
+# [ts - 7 days, ts] — aggregate pushed into the join (count per event), so the
+# output stays O(|events|) even when the interval match blows up
+# ---------------------------------------------------------------------------
+
+def range_join_events_orders(sf_dir: str, window_days: int = 7):
+    from mediachain_indexer_ray.stages.joins import _KEY, _SIDE, _TS, _ts_i64
+
+    win_us = window_days * 86_400 * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _norm_left(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                _KEY: pc.cast(t.column("user_id"), pa.int64()),
+                _TS: _ts_i64(t.column("ts")),
+                _SIDE: pa.array(np.zeros(t.num_rows, np.int8)),
+                "event_id": t.column("event_id"),
+            }
+        )
+
+    def _norm_right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                _KEY: pc.cast(t.column("o_custkey"), pa.int64()),
+                _TS: _ts_i64(t.column("o_orderdate")),
+                _SIDE: pa.array(np.ones(t.num_rows, np.int8)),
+                "event_id": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    u = ev.map_batches(_norm_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        od.map_batches(_norm_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        side = t.column(_SIDE).to_numpy()
+        key = t.column(_KEY).to_numpy()
+        ts = t.column(_TS).to_numpy()
+        lmask = side == 0
+        lk, lt = key[lmask], ts[lmask]
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)[lmask]
+        if not len(lk):
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "n_orders_7d": pa.array([], pa.int64())})
+        rk, rt = key[~lmask], ts[~lmask]
+        order = np.lexsort((rt, rk))
+        rk, rt = rk[order], rt[order]
+        # composite (key-rank, ts-rank) interval-count — same encoding as
+        # stages/joins.py asof_join, both interval ends inclusive
+        uk = np.unique(key)
+        ut = np.unique(rt)
+        L = np.int64(len(ut) + 2)
+        comp_r = np.searchsorted(uk, rk).astype(np.int64) * L + np.searchsorted(ut, rt)
+        kr = np.searchsorted(uk, lk).astype(np.int64) * L
+        hi = np.searchsorted(comp_r, kr + np.searchsorted(ut, lt, side="right"))
+        lo = np.searchsorted(comp_r, kr + np.searchsorted(ut, lt - win_us))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(lk, pa.int64()),
+                "n_orders_7d": pa.array((hi - lo).astype(np.int64)),
+            }
+        )
+
+    return grouped_partitions(u, _KEY, _merge, _PARTS)
+
+
+RANGE_JOIN_EVENTS_ORDERS_SQL = """
+SELECT e.event_id, e.user_id, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders_7d
+FROM events e LEFT JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
+GROUP BY e.event_id, e.user_id
+"""
