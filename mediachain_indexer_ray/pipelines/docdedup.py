@@ -95,11 +95,12 @@ def minhash_lsh_pairs(
 
     # broadcast LUT: id-hash → exact shingle set (computed in the parallel
     # signature pass; the driver only concatenates and sorts)
-    side = sigs.select_columns(["conv_id", "scorer_shingles"])
+    side = sigs.select_columns(["conv_id", "scorer_shingles", "minhash"])
     tabs = [t for t in ray.get(side.to_arrow_refs()) if t.num_rows > 0]
     t = pa.concat_tables(tabs).combine_chunks() if tabs else pa.table(
         {"conv_id": pa.array([], pa.string()),
-         "scorer_shingles": pa.array([], pa.list_(pa.uint32()))}
+         "scorer_shingles": pa.array([], pa.list_(pa.uint32())),
+         "minhash": pa.array([], pa.list_(pa.uint64(), cfg.num_perm))}
     )
     sh_col = t.column("scorer_shingles").combine_chunks()
     off = np.asarray(sh_col.offsets.to_numpy()).astype(np.int64)
@@ -115,7 +116,19 @@ def minhash_lsh_pairs(
     ) if counts.sum() else np.empty(0, np.int64)
     off_sorted = np.zeros(t.num_rows + 1, np.int64)
     np.cumsum(counts, out=off_sorted[1:])
-    lut_ref = ray.put((np.sort(key), off_sorted, flat[gather]))
+    mh_col = t.column("minhash").combine_chunks()
+    # b-bit MinHash sketch (low byte per slot): 8× smaller per-pair gather;
+    # the 1/256 collision rate only biases the estimate UP — recall-safe
+    mh = (
+        np.asarray(mh_col.values.to_numpy())
+        .reshape(t.num_rows, cfg.num_perm)[order]
+        .astype(np.uint8)
+        if t.num_rows else np.empty((0, cfg.num_perm), np.uint8)
+    )
+    lut_ref = ray.put((np.sort(key), off_sorted, flat[gather], mh))
+    # MinHash-estimate prefilter margin: estimate stderr is
+    # sqrt(j(1-j)/K) ≈ 0.044 at K=128, j=0.5 — 0.25 is >5σ, recall-safe
+    est_floor = max(0.0, jaccard_threshold - 0.25)
 
     def _verify(b: pa.Table) -> pa.Table:
         from mediachain_indexer_ray.functions.simhash import hamming64
@@ -135,7 +148,7 @@ def minhash_lsh_pairs(
                     "jaccard_milli": pa.array([], pa.int64()),
                 }
             )
-        keys, off_l, val_l = ray.get(lut_ref)
+        keys, off_l, val_l, mh_l = ray.get(lut_ref)
         locs = []
         for col in ("a", "b"):
             h = hash_strings(b.column(col).combine_chunks(), seed=0x2D)
@@ -145,6 +158,14 @@ def minhash_lsh_pairs(
                 continue
             pos = np.clip(np.searchsorted(keys, h), 0, len(keys) - 1)
             locs.append((pos, keys[pos] == h))
+        # second prefilter: MinHash-estimated Jaccard (K slot compares/pair)
+        # before the exact set merge (~|set_a|+|set_b| element ops/pair) —
+        # boilerplate corpora co-band ~100× more pairs than are near-dups
+        est = (mh_l[locs[0][0]] == mh_l[locs[1][0]]).mean(axis=1)
+        pre = est >= est_floor
+        if not pre.all():
+            b = b.filter(pa.array(pre))
+            locs = [(p[pre], v[pre]) for p, v in locs]
         jac = jaccard_from_lut(off_l, val_l, locs[0][0], locs[0][1],
                                locs[1][0], locs[1][1])
         milli = np.floor(jac * 1000 + 0.5).astype(np.int64)
