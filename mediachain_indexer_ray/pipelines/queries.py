@@ -760,3 +760,52 @@ FROM events e LEFT JOIN orders o
  AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
 GROUP BY e.event_id, e.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k: top 3 orders per customer by price — per-group limit at scale
+# (single hash shuffle + vectorized in-partition rank; no global sort)
+# ---------------------------------------------------------------------------
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pa.array(cents),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("o_custkey", "ascending"), ("cents", "descending"),
+                       ("o_orderkey", "ascending")],  # deterministic tiebreak
+        )
+        t = t.take(idx)
+        ck = t.column("o_custkey").to_numpy()
+        n = len(ck)
+        if n == 0:
+            return t
+        new = np.ones(n, bool)
+        new[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+        return t.filter(pa.array(rank < k))
+
+    return grouped_partitions(ds, "o_custkey", _fn, _PARTS)
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, cents FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY FLOOR(o_totalprice*100 + 0.5) DESC,
+                                     o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
