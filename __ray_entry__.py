@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": Q.pricing_summary,
         "top_orders": Q.top_orders,
         "top_orders_per_customer": Q.top_orders_per_customer,
+        "order_price_quantiles": Q.order_price_quantiles,
         "customer_order_revenue": Q.customer_order_revenue,
         "nation_region_join": Q.nation_region_join,
         "union_sources": Q.union_sources,
@@ -215,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": Q.PRICING_SUMMARY_SQL,
         "top_orders": Q.TOP_ORDERS_SQL,
         "top_orders_per_customer": Q.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "order_price_quantiles": Q.ORDER_PRICE_QUANTILES_SQL,
         "customer_order_revenue": Q.CUSTOMER_ORDER_REVENUE_SQL,
         "nation_region_join": Q.NATION_REGION_JOIN_SQL,
         "union_sources": Q.UNION_SOURCES_SQL,

@@ -809,3 +809,57 @@ SELECT o_custkey, o_orderkey, cents FROM (
                                      o_orderkey) AS rn
   FROM orders) WHERE rn <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles: per-batch value-count partials (combiner)
+# -> one small groupby shuffle over DISTINCT values -> rank selection.
+# Only the distinct-value histogram is ever collected — O(|distinct|), not
+# O(rows) — the standard exact-quantile shape for a price-like column
+# ---------------------------------------------------------------------------
+
+QUANTILES_MILLI = (250, 500, 900, 990)
+
+
+def order_price_quantiles(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        v, c = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(v), "n": pa.array(c.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cents")
+        .sum("n")
+    )
+    t = pa.concat_tables(
+        [tt for tt in ray.get(hist.to_arrow_refs()) if tt.num_rows > 0]
+    ).combine_chunks()
+    v = t.column("cents").to_numpy()
+    c = t.column("sum(n)").to_numpy()
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    rows_q, rows_v = [], []
+    for qm in QUANTILES_MILLI:
+        # DuckDB quantile_disc convention: 1-based rank = ceil(q * n)
+        rank = max(1, -(-qm * n // 1000))
+        rows_q.append(qm)
+        rows_v.append(int(v[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {"q_milli": pa.array(rows_q, pa.int64()), "cents": pa.array(rows_v, pa.int64())}
+    )
+
+
+ORDER_PRICE_QUANTILES_SQL = """
+WITH c AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders)
+SELECT 250 AS q_milli, quantile_disc(cents, 0.25) AS cents FROM c
+UNION ALL SELECT 500, quantile_disc(cents, 0.50) FROM c
+UNION ALL SELECT 900, quantile_disc(cents, 0.90) FROM c
+UNION ALL SELECT 990, quantile_disc(cents, 0.99) FROM c
+"""

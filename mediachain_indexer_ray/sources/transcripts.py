@@ -50,3 +50,31 @@ def read_transcripts(path: str, *, columns: list[str] | None = None) -> ray.data
     if columns is None or set(columns) == set(S.TRANSCRIPTS.names):
         ds = ds.map_batches(normalize_batch, batch_format="pyarrow", zero_copy_batch=True)
     return ds
+
+
+def read_transcripts_json(path: str) -> ray.data.Dataset:
+    """JSONL transcript ingest — the reference's native input shape
+    (``[ref: mc_datasets.py iter_json_getty — unverified]``): one JSON object
+    per line with the transcripts fields, ``ts`` as ISO-8601 or epoch-us int.
+    Parsed in parallel by ``ray.data.read_json``, then cast to the engine
+    schema and pushed through the same validate/normalize path as Parquet —
+    heterogeneous-source normalization (SURVEY.md M2) happens here."""
+    from mediachain_indexer_ray.config import default_parallelism
+
+    ds = ray.data.read_json(path, override_num_blocks=default_parallelism())
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in zip(S.TRANSCRIPTS.names, S.TRANSCRIPTS.types):
+            if name not in batch.schema.names:
+                cols[name] = pa.nulls(batch.num_rows, typ)
+                continue
+            col = batch.column(name)
+            if name == "ts" and pa.types.is_string(col.type):
+                col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us")
+            elif name == "ts" and pa.types.is_integer(col.type):
+                col = col.cast(pa.int64()).cast(pa.timestamp("us"))
+            cols[name] = pc.cast(col, typ)
+        return normalize_batch(pa.table(cols))
+
+    return ds.map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True)

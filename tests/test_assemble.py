@@ -45,3 +45,39 @@ def test_assembly_idempotent_across_row_orders():
         a[["conv_id", "n_turns", "doc_text", "norm_text"]],
         b[["conv_id", "n_turns", "doc_text", "norm_text"]],
     )
+
+
+def test_jsonl_ingest_matches_parquet(ray_session, tmp_path):
+    """S1/M2 parity: a JSONL dump of the same turns assembles identically to
+    the Parquet read path (ISO timestamps re-parsed, tool nulls filled)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from mediachain_indexer_ray.config import Config
+    from mediachain_indexer_ray.sources.transcripts import (
+        read_transcripts,
+        read_transcripts_json,
+    )
+    from mediachain_indexer_ray.stages.assemble import assemble
+    from mediachain_indexer_ray.fixtures import FixtureSpec, write_corpus
+
+    d = tmp_path / "c"
+    write_corpus(FixtureSpec(n_base=20, seed=3), str(d), shuffle_rows=True)
+    pq_path = str(d / "transcripts.parquet")
+    t = pq.read_table(pq_path)
+    jl = tmp_path / "t.jsonl"
+    with open(jl, "w") as f:
+        for row in t.to_pylist():
+            row["ts"] = row["ts"].strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(_json.dumps(row) + "\n")
+
+    cfg = Config()
+    a = assemble(read_transcripts(pq_path), cfg, num_parts=4).to_pandas()
+    b = assemble(read_transcripts_json(str(jl)), cfg, num_parts=4).to_pandas()
+    a = a.sort_values("conv_id").reset_index(drop=True)
+    b = b.sort_values("conv_id").reset_index(drop=True)
+    # second-resolution ISO timestamps: compare text/ids/counts (ts columns
+    # are truncated by the round-trip)
+    for col in ("conv_id", "n_turns", "doc_text", "norm_text"):
+        assert (a[col] == b[col]).all(), col
