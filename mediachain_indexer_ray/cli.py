@@ -103,6 +103,18 @@ def cmd_fixture(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    """X2 parity: `bench` subcommand delegates to the repo bench harness in a
+    child process (bench.py owns its own Ray session / fresh-process protocol)."""
+    import os
+    import subprocess
+    import sys
+
+    bench = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+    cmd = [sys.executable, bench] + (["--scaling"] if args.scaling else [])
+    return subprocess.call(cmd)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mediachain_indexer_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -131,6 +143,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--shuffle", action="store_true")
     p.set_defaults(fn=cmd_fixture)
+
+    p = sub.add_parser("bench", help="repo bench harness (bench.py)")
+    p.add_argument("--scaling", action="store_true")
+    p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
     return args.fn(args)
