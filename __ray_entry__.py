@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_documents": lambda d: docdedup.minhash_lsh_pairs(_docs(d)),
         "simhash_documents": lambda d: docdedup.simhash_table(_docs(d)),
         "ngram_dedup_documents": lambda d: docdedup.ngram_jaccard_dedup(_docs(d)),
+        "ann_lsh_topk": lambda d: sim.ann_lsh_topk(d, n_bits=4, probe_hamming=2),
         "media_features": lambda d: multimodal.extract_media_features(
             multimodal.documents_as_media(d)
         ),

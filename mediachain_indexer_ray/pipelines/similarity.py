@@ -147,3 +147,103 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE FLOOR(list_cosine_similarity(a.embedding, b.embedding) * 1e6) >= 350000
 """
+
+
+def ann_lsh_topk(
+    sf_dir: str, n_queries: int = 5, k: int = 10,
+    n_bits: int = 8, probe_hamming: int = 1, seed: int = 42,
+) -> pa.Table:
+    """Hyperplane-LSH bucketed ANN (the IVF-style scale path): corpus rows are
+    scored for a query ONLY if their sign-bucket code is within
+    ``probe_hamming`` bits of the query's code (multi-probe). Per batch: one
+    matmul against the broadcast hyperplanes to code the rows, one masked
+    matmul against the candidate subset — compute scales with bucket
+    selectivity (~``(1+n_bits)/2^n_bits`` of the corpus at probe_hamming=1),
+    not corpus size. Exact within probed buckets; recall vs brute force is
+    pinned by ``test_ann_lsh_recall``."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    q_tab = ds.filter(expr=f"vec_id < {n_queries}").take_all()
+    q_ids = np.array([r["vec_id"] for r in q_tab])
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    Q = _normalize(np.array([q_tab[i]["embedding"] for i in order], np.float64))
+
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((Q.shape[1], n_bits))  # hyperplanes (broadcast)
+    bits = np.uint32(1) << np.arange(n_bits, dtype=np.uint32)
+
+    def _codes(M: np.ndarray) -> np.ndarray:
+        return ((M @ H) > 0).astype(np.uint32) @ bits
+
+    q_codes = _codes(Q)
+    # multi-probe: every code within probe_hamming bits of a query's code
+    probe = {int(c) for c in q_codes}
+    frontier = set(probe)
+    for _ in range(probe_hamming):
+        frontier = {c ^ (1 << b) for c in frontier for b in range(n_bits)} - probe
+        probe |= frontier
+    probe_arr = np.fromiter(sorted(probe), np.uint32)
+    q_ref = ray.put((q_ids, Q, H, probe_arr))
+
+    corpus = ds.filter(expr=f"vec_id >= {n_queries}")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids_q, Qm, Hm, probes = ray.get(q_ref)
+        M = _normalize(_emb_matrix(b))
+        codes = ((M @ Hm) > 0).astype(np.uint32) @ bits
+        cand = np.isin(codes, probes)
+        empty = pa.table({"q_vec_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if not cand.any():
+            return empty
+        Mc = M[cand]
+        ids = b.column("vec_id").to_numpy()[cand]
+        codes_c = codes[cand]
+        qc = ((Qm @ Hm) > 0).astype(np.uint32) @ bits
+        sims = Mc @ Qm.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(Qm.shape[0]):
+            # per-query probe set: own code ± probe_hamming bits
+            ham = np.zeros(len(codes_c), np.uint32)
+            x = codes_c ^ qc[qi]
+            while True:
+                nz = x != 0
+                if not nz.any():
+                    break
+                ham[nz] += 1
+                x = x & (x - 1)
+            ok = ham <= probe_hamming
+            if not ok.any():
+                continue
+            s = sims[ok, qi]
+            iid = ids[ok]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            out_q.append(np.full(len(top), ids_q[qi], np.int64))
+            out_v.append(iid[top])
+            out_s.append(s[top])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "q_vec_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    parts = corpus.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    parts = parts.sort_values(["q_vec_id", "sim", "vec_id"],
+                              ascending=[True, False, True], kind="stable")
+    top = parts.groupby("q_vec_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("q_vec_id").cumcount() + 1
+    return pa.table(
+        {
+            "q_vec_id": pa.array(top["q_vec_id"].to_numpy()),
+            "vec_id": pa.array(top["vec_id"].to_numpy()),
+            "rank": pa.array(top["rank"].to_numpy().astype(np.int64)),
+        }
+    )

