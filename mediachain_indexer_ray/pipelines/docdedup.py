@@ -26,7 +26,7 @@ def _doc_signatures(ds: ray.data.Dataset, cfg: Config, id_col: str, text_col: st
     """(id, text) → signature table shaped like stages.signatures output."""
 
     def _fn(b: pa.Table) -> pa.Table:
-        from mediachain_indexer_ray.functions.strsim import shingle_sets
+        from mediachain_indexer_ray.functions.strsim import shingle_set_table
 
         text = b.column(text_col).combine_chunks()
         norm = pc.utf8_trim_whitespace(
@@ -40,14 +40,12 @@ def _doc_signatures(ds: ray.data.Dataset, cfg: Config, id_col: str, text_col: st
         simh = simhash_signatures(sh, bnd)
         ids = pc.cast(b.column(id_col), pa.string())
         feature_text = pc.utf8_slice_codeunits(norm, 0, cfg.feature_text_max_chars)
-        ssets = shingle_sets(
+        s_off64, s_flat = shingle_set_table(
             feature_text.combine_chunks()
             if isinstance(feature_text, pa.ChunkedArray) else feature_text,
             cfg.shingle_k, 1,  # exact sets: verification is exact Jaccard
         )
-        s_off = np.zeros(b.num_rows + 1, np.int32)
-        np.cumsum([len(s) for s in ssets], out=s_off[1:])
-        s_flat = np.concatenate(ssets) if s_off[-1] else np.empty(0, np.uint32)
+        s_off = s_off64.astype(np.int32)
         return pa.table(
             {
                 "conv_id": ids,

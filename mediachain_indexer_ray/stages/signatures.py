@@ -31,8 +31,8 @@ def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     digest = content_digest(as_array(doc_text))
 
     sig_text = as_array(pc.utf8_slice_codeunits(norm, 0, cfg.sig_text_max_chars))
-    sh, bnd = shingle_hashes(sig_text, cfg.shingle_k)
-    sh, bnd = sample_shingles(sh, bnd, cfg.shingle_sample_mod)
+    sh0, bnd0 = shingle_hashes(sig_text, cfg.shingle_k)
+    sh, bnd = sample_shingles(sh0, bnd0, cfg.shingle_sample_mod)
     minh = minhash_signatures(sh, bnd, cfg.num_perm, cfg.seed, mode="oph")
     simh = simhash_signatures(sh, bnd)
     n_shingles = np.diff(bnd).astype(np.int32)
@@ -40,19 +40,26 @@ def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     feature_text = pc.utf8_slice_codeunits(norm, 0, cfg.feature_text_max_chars)
 
     # precompute the SCORER's sampled shingle sets here, once per conversation
-    # (sorted-unique 48-bit hashes over feature_text): the pairwise reranker
+    # (sorted-unique 32-bit hashes over feature_text): the pairwise reranker
     # then computes Jaccard by set merge without ever re-shingling text —
-    # O(conversations) shingling instead of O(candidate pairs)
-    from mediachain_indexer_ray.functions.strsim import shingle_sets
+    # O(conversations) shingling instead of O(candidate pairs). feature_text is
+    # a byte-prefix of sig_text, so its shingles are sliced out of the raw
+    # stream already computed above instead of shingled a second time.
+    from mediachain_indexer_ray.functions.strsim import (
+        shingle_set_table,
+        shingle_set_table_prefix,
+    )
 
-    ssets = shingle_sets(
-        as_array(feature_text), cfg.shingle_k, cfg.scorer_sample_mod
-    )
-    s_offsets = np.zeros(batch.num_rows + 1, np.int32)
-    np.cumsum([len(s) for s in ssets], out=s_offsets[1:])
-    s_flat = (
-        np.concatenate(ssets) if s_offsets[-1] else np.empty(0, np.uint32)
-    )
+    if cfg.feature_text_max_chars <= cfg.sig_text_max_chars:
+        s_off64, s_flat = shingle_set_table_prefix(
+            sh0, bnd0, as_array(feature_text), cfg.shingle_k,
+            cfg.scorer_sample_mod,
+        )
+    else:  # feature text extends past the signature cap: shingle it directly
+        s_off64, s_flat = shingle_set_table(
+            as_array(feature_text), cfg.shingle_k, cfg.scorer_sample_mod
+        )
+    s_offsets = s_off64.astype(np.int32)
 
     return pa.table(
         {
