@@ -40,11 +40,13 @@ def shingle_hashes(arr, k: int) -> tuple[np.ndarray, np.ndarray]:
     nwin = max(0, m - k + 1)
     H = np.zeros(nwin, U64)
     if nwin:
-        d = data.astype(U64)
-        H += d[0:nwin]
+        # accumulate straight from the uint8 buffer (casting="unsafe" upcasts
+        # inside the ufunc inner loop): no 8× u64 expansion of the text, ~2×
+        # faster at identical output
+        np.add(H, data[0:nwin], out=H, casting="unsafe")
         for j in range(1, k):  # in-place: no per-iteration temporaries
             H *= _C
-            H += d[j : j + nwin]
+            np.add(H, data[j : j + nwin], out=H, casting="unsafe")
         H = splitmix64(H)
 
     counts = np.maximum(lengths - k + 1, 0).astype(np.int64)
