@@ -64,29 +64,30 @@ class PairScorer:
             self._lut_sh_off = np.asarray(sh.offsets.to_numpy())
             self._lut_sh_val = np.asarray(sh.values.to_numpy())
 
-    def _attach_texts(self, b: pa.Table):
-        """Gather feature text + LUT row positions for both endpoints from the
-        broadcast LUT (zero-copy; no re-shingling, no per-pair python loop).
-        Returns (batch+text columns, (pos_a, hit_a), (pos_b, hit_b))."""
-        import pyarrow.compute as pc
-
+    def _locate(self, b: pa.Table):
+        """LUT row positions for both endpoints — NO text gather (texts are
+        fetched later, only for the borderline band that needs the DP
+        kernels). Returns ((pos_a, hit_a), (pos_b, hit_b))."""
         from mediachain_indexer_ray.functions.hashing import hash_strings
 
-        cols, locs = [], []
+        locs = []
         for col in ("a", "b"):
             h = hash_strings(b.column(col).combine_chunks(), seed=0x1D)
             if len(self._lut_keys) == 0:
-                cols.append(pa.array([""] * b.num_rows, pa.string()))
                 locs.append((np.zeros(b.num_rows, np.int64),
                              np.zeros(b.num_rows, bool)))
                 continue
             pos = np.clip(np.searchsorted(self._lut_keys, h), 0, len(self._lut_keys) - 1)
-            hit = self._lut_keys[pos] == h
-            idx = pa.array(pos, pa.int64(), mask=~hit)
-            cols.append(pc.fill_null(self._lut_texts.take(idx), ""))
-            locs.append((pos, hit))
-        out = b.append_column("text_a", cols[0]).append_column("text_b", cols[1])
-        return out, locs[0], locs[1]
+            locs.append((pos, self._lut_keys[pos] == h))
+        return locs[0], locs[1]
+
+    def _texts_at(self, pos: np.ndarray, hit: np.ndarray) -> pa.Array:
+        import pyarrow.compute as pc
+
+        if self._lut_keys is None or len(self._lut_keys) == 0:
+            return pa.array([""] * len(pos), pa.string())
+        idx = pa.array(pos, pa.int64(), mask=~hit)
+        return pc.fill_null(self._lut_texts.take(idx), "")
 
     def _sets_for(self, ids: list, texts: pa.Array) -> list[np.ndarray]:
         """conv_id → sorted-unique sampled shingle-hash set, cached per actor;
@@ -121,12 +122,15 @@ class PairScorer:
                 batch.column("simhash_b").to_numpy(),
             )
             batch = batch.filter(pa.array(ham <= cfg.simhash_prefilter_bits))
-            batch, loc_a, loc_b = self._attach_texts(batch)
+            if batch.num_rows:
+                loc_a, loc_b = self._locate(batch)
         n = batch.num_rows
         if n == 0:
             return _empty_scored()
-        ta = batch.column("text_a").combine_chunks()
-        tb = batch.column("text_b").combine_chunks()
+        ta = tb = None
+        if loc_a is None:  # join path carries texts in the batch
+            ta = batch.column("text_a").combine_chunks()
+            tb = batch.column("text_b").combine_chunks()
         # Decision cascade (the throughput heart of the reranker):
         #   1. sampled-shingle Jaccard + SimHash-cosine — cheap, vectorized;
         #   2. fast-accept (jac ≥ fast_accept_jaccard: unreachable by
@@ -157,8 +161,13 @@ class PairScorer:
         jw = np.zeros(n, np.float64)
         lev = np.zeros(n, np.float64)
         if mid.any():
-            m = pa.array(mid)
-            tam, tbm = ta.filter(m), tb.filter(m)
+            if loc_a is not None:
+                # texts are gathered ONLY here, only for the borderline band
+                tam = self._texts_at(loc_a[0][mid], loc_a[1][mid])
+                tbm = self._texts_at(loc_b[0][mid], loc_b[1][mid])
+            else:
+                m = pa.array(mid)
+                tam, tbm = ta.filter(m), tb.filter(m)
             jw[mid] = jaro_winkler_batch(tam, tbm, cfg.jw_max_chars)
             lev[mid] = levenshtein_ratio_batch(
                 tam, tbm, cfg.lev_max_chars, cfg.lev_band_radius
