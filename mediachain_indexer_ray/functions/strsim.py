@@ -297,7 +297,9 @@ def shingle_set_table_prefix(
     first ``len(prefix) - k + 1`` windows, so they are sliced out of the
     existing stream, content-sampled, truncated to 32 bits and set-ified —
     value-identical to ``shingle_set_table(prefix_arr, k, sample_mod)`` at
-    ~1/10 the cost."""
+    ~1/10 the cost. PRECONDITION: the prefix cap must be ≥ k codepoints —
+    below that a row can be "short" (whole-string hashed) in the prefix while
+    having full k-gram windows in the stream, and the values diverge."""
     from mediachain_indexer_ray.functions.minhash import sample_shingles
 
     _, fst, fen = arrow_string_buffers(prefix_arr)

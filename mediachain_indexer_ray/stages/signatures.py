@@ -50,7 +50,7 @@ def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
         shingle_set_table_prefix,
     )
 
-    if cfg.feature_text_max_chars <= cfg.sig_text_max_chars:
+    if cfg.shingle_k <= cfg.feature_text_max_chars <= cfg.sig_text_max_chars:
         s_off64, s_flat = shingle_set_table_prefix(
             sh0, bnd0, as_array(feature_text), cfg.shingle_k,
             cfg.scorer_sample_mod,

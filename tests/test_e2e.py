@@ -107,3 +107,31 @@ def test_determinism_fresh_workdir(pipeline_outputs, tmp_path):
     s1 = out["pairs"].to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     s2 = out2["pairs"].to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(s1, s2)
+
+
+def test_pipeline_degenerate_corpus(ray_session, tmp_path):
+    """Flagship survives a pathological corpus: empty-text turns (dropped by
+    hygiene filters), single-turn conversations, whitespace-only and sub-k
+    texts — every conversation still gets a cluster id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mediachain_indexer_ray.config import Config
+    from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
+
+    rows = {
+        "conv_id": ["c1", "c1", "c2", "c3", "c4", "c5"],
+        "turn_idx": [0, 1, 0, 0, 0, 0],
+        "role": ["user", "assistant", "user", "user", "user", "user"],
+        "text": ["hello world", "", "   ", "ab", "hello world", "hello world"],
+        "tool": ["", None, "", "", "", ""],
+        "ts": [pa.scalar(i * 1000, pa.timestamp("us")) for i in range(6)],
+    }
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table(rows), p)
+    out = dedupe_pipeline(p, Config(work_dir=str(tmp_path / "w")))
+    cl = out["clusters"].to_pandas().sort_values("conv_id")
+    # c1 keeps one non-empty turn; c4/c5 are exact dups -> same cluster
+    assert set(cl.conv_id) == {"c1", "c2", "c3", "c4", "c5"}
+    m = dict(zip(cl.conv_id, cl.cluster_id))
+    assert m["c4"] == m["c5"]

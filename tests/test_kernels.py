@@ -208,3 +208,58 @@ def test_ngram_jaccard_matches_set_formula():
     got = ngram_jaccard_batch(pa.array(A), pa.array(B), k=3)
     for g, a, b in zip(got, A, B):
         assert g == pytest.approx(_true_jaccard(a, b, 3), abs=1e-9)
+
+
+def test_shingle_set_table_matches_per_row_unique():
+    """Batch-sort set building == naive per-row np.unique (the pre-optimization
+    reference semantics), including empty/short/duplicate-heavy rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mediachain_indexer_ray.functions.minhash import sample_shingles
+    from mediachain_indexer_ray.functions.shingle import shingle_hashes
+    from mediachain_indexer_ray.functions.strsim import shingle_set_table
+
+    rng = np.random.default_rng(5)
+    rows = ["", "ab", "aaaaaaaaaa", "abcdefghij" * 5]
+    rows += ["".join(rng.choice(list("abcd ")) for _ in range(rng.integers(0, 60)))
+             for _ in range(300)]
+    arr = pa.array(rows, pa.string())
+    for mod in (1, 4):
+        off, vals = shingle_set_table(arr, 5, mod)
+        h, bnd = shingle_hashes(arr, 5)
+        if mod > 1:
+            h, bnd = sample_shingles(h, bnd, mod)
+        h32 = (h >> np.uint64(32)).astype(np.uint32)
+        for i in range(len(rows)):
+            want = np.unique(h32[bnd[i]:bnd[i + 1]])
+            got = vals[off[i]:off[i + 1]]
+            assert np.array_equal(got, want), (i, mod)
+
+
+def test_shingle_set_table_prefix_equivalence():
+    """Prefix-derived scorer sets == direct shingling of the truncated text
+    (the invariant stages/signatures.py relies on)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from mediachain_indexer_ray.functions.shingle import shingle_hashes
+    from mediachain_indexer_ray.functions.strsim import (
+        shingle_set_table,
+        shingle_set_table_prefix,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = ["".join(rng.choice(list("abcdé 漢x")) for _ in range(rng.integers(0, 200)))
+            for _ in range(200)] + ["", "ab", "abcd"]
+    arr = pa.array(rows, pa.string())
+    for cap in (5, 17, 64, 1000):  # precondition: cap >= k
+        full = pc.utf8_slice_codeunits(arr, 0, 4096)
+        pref = pc.utf8_slice_codeunits(arr, 0, cap)
+        sh0, bnd0 = shingle_hashes(full, 5)
+        for mod in (1, 8):
+            off_a, val_a = shingle_set_table(pref, 5, mod)
+            off_b, val_b = shingle_set_table_prefix(sh0, bnd0, pref, 5, mod)
+            assert np.array_equal(off_a, off_b), (cap, mod)
+            assert np.array_equal(val_a, val_b), (cap, mod)
