@@ -863,3 +863,96 @@ UNION ALL SELECT 500, quantile_disc(cents, 0.50) FROM c
 UNION ALL SELECT 900, quantile_disc(cents, 0.90) FROM c
 UNION ALL SELECT 990, quantile_disc(cents, 0.99) FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# anti join (D4 "except" semantics as a standalone relational op): orders
+# with no lineitems — broadcast the distinct-key hash set (small side); at
+# scale this becomes the same co-partitioned shuffle as stages/joins.py
+# ---------------------------------------------------------------------------
+
+def orders_without_lineitems(sf_dir: str):
+    from mediachain_indexer_ray.functions.hashing import splitmix64
+
+    cust = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    ok = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def _keys(b: pa.Table) -> pa.Table:
+        h = splitmix64(b.column("l_orderkey").to_numpy().astype(np.uint64))
+        return pa.table({"h": pa.array(np.unique(h))})
+
+    keys = ok.map_batches(_keys, batch_format="pyarrow", zero_copy_batch=True)
+    tabs = [t for t in ray.get(keys.to_arrow_refs()) if t.num_rows > 0]
+    hs = (
+        np.unique(np.concatenate([t.column("h").to_numpy() for t in tabs]))
+        if tabs else np.empty(0, np.uint64)
+    )
+    hs_ref = ray.put(hs)
+
+    def _anti(b: pa.Table) -> pa.Table:
+        have = ray.get(hs_ref)
+        h = splitmix64(b.column("o_orderkey").to_numpy().astype(np.uint64))
+        if len(have):
+            pos = np.clip(np.searchsorted(have, h), 0, len(have) - 1)
+            keep = have[pos] != h
+        else:
+            keep = np.ones(len(h), bool)
+        return b.filter(pa.array(keep))
+
+    return cust.map_batches(_anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORDERS_WITHOUT_LINEITEMS_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# conditional (filtered) aggregation: per user, counts of two event types and
+# total value cents — one pass, partial combine inside map_batches
+# ---------------------------------------------------------------------------
+
+def user_event_profile(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.floor(b.column("value").to_numpy() * 100 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n_click": pa.array((et == "click").astype(np.int64)),
+                "n_purchase": pa.array((et == "purchase").astype(np.int64)),
+                "value_cents": pa.array(cents),
+            }
+        )
+        gb = pa.TableGroupBy(t, "user_id", use_threads=False)
+        agg = gb.aggregate(
+            [("n_click", "sum"), ("n_purchase", "sum"), ("value_cents", "sum")]
+        )
+        return agg.rename_columns(
+            ["user_id", "n_click", "n_purchase", "value_cents"]
+        )
+
+    part = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        part.groupby("user_id")
+        .sum(["n_click", "n_purchase", "value_cents"])
+        .rename_columns(
+            {
+                "sum(n_click)": "n_click",
+                "sum(n_purchase)": "n_purchase",
+                "sum(value_cents)": "value_cents",
+            }
+        )
+    )
+
+
+USER_EVENT_PROFILE_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+"""
