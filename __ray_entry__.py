@@ -53,7 +53,12 @@ def _events_as_transcripts(sf_dir: str):
                     b.column("user_id").cast(pa.string()),
                     "",
                 ),
-                "turn_idx": pa.array(np.zeros(n, np.int32)),  # order falls to ts
+                # event_id is globally unique and ts-ordered (verified on the
+                # driver tables), so it is a valid per-conversation turn index:
+                # assembly's idempotent (conv_id, turn_idx) dedup keeps every
+                # event, and sorting by turn_idx == sorting by ts. (A constant
+                # 0 here collapsed each user's events to one turn — ADVICE r1.)
+                "turn_idx": b.column("event_id").cast(pa.int32()),
                 "role": b.column("event_type").cast(pa.string()),
                 "text": text,
                 "tool": pa.array([""] * n, pa.string()),
@@ -72,7 +77,8 @@ def _flagship(sf_dir: str):
     from mediachain_indexer_ray.config import Config
     from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    # "v2" folds the projection version into the cache key (turn_idx fix)
+    tag = hashlib.sha1(f"{sf_dir}:v2".encode()).hexdigest()[:8]
     tdir = f"/tmp/mcray_entry_{tag}"
     tpath = f"{tdir}/transcripts"
     if not os.path.exists(tpath):

@@ -115,7 +115,11 @@ def minhash_oph(
             first[0] = True
             np.not_equal(kpart[1:], kpart[:-1], out=first[1:])
             out[kpart[first].astype(np.int64)] = packed[first] & U64((1 << 40) - 1)
-        else:  # huge batch fallback: exact values, argsort path
+        else:  # huge batch fallback: argsort path, SAME 40-bit truncation as
+            # the packed fast path (truncation is monotone, so
+            # min(vals) >> 24 == min(vals >> 24)) — signatures from the two
+            # paths must be bit-identical or band keys silently diverge for
+            # rows that landed in differently-sized batches
             keys = keys.astype(np.int64)
             order = np.argsort(keys, kind="stable")
             sk, sv = keys[order], vals[order]
@@ -123,7 +127,7 @@ def minhash_oph(
             group_start[0] = True
             np.not_equal(sk[1:], sk[:-1], out=group_start[1:])
             starts_idx = np.flatnonzero(group_start)
-            out[sk[starts_idx]] = np.minimum.reduceat(sv, starts_idx)
+            out[sk[starts_idx]] = np.minimum.reduceat(sv, starts_idx) >> U64(24)
     sig = out.reshape(n, K)
 
     # circular forward-fill of empty bins (doubling passes)

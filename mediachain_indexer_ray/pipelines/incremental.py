@@ -34,6 +34,7 @@ from mediachain_indexer_ray.stages.assemble import assemble
 from mediachain_indexer_ray.stages.blocking import (
     dedup_pairs,
     emit_bands,
+    emit_pairs,
     split_exact_dedup,
 )
 from mediachain_indexer_ray.stages.closure import connected_components
@@ -41,59 +42,6 @@ from mediachain_indexer_ray.stages.partition import grouped_partitions
 from mediachain_indexer_ray.stages.scoring import score_pairs
 from mediachain_indexer_ray.stages.signatures import signatures
 from mediachain_indexer_ray.state.checkpoint import CheckpointManager, read_checkpoint
-
-
-def _emit_delta_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
-    """Within a band bucket: emit canonical pairs where ≥1 endpoint is new."""
-    import pyarrow.compute as pc
-
-    idx = pc.sort_indices(
-        t, sort_keys=[("band_key", "ascending"), ("conv_id", "ascending")]
-    )
-    t = t.take(idx)
-    keys = t.column("band_key").to_numpy()
-    conv = t.column("conv_id").to_pandas().to_numpy()
-    simh = t.column("simhash").to_numpy()
-    is_new = t.column("is_new").to_numpy(zero_copy_only=False)
-    n = len(keys)
-    first = np.ones(n, bool)
-    if n > 1:
-        np.not_equal(keys[1:], keys[:-1], out=first[1:])
-    starts = np.flatnonzero(first)
-    ends = np.append(starts[1:], n)
-    a_idx, b_idx = [], []
-    cap = cfg.max_pairs_per_block
-    for s, e in zip(starts, ends):
-        size = e - s
-        if size < 2 or not is_new[s:e].any():
-            continue
-        ii, jj = np.triu_indices(size, 1)
-        touch_new = is_new[s + ii] | is_new[s + jj]
-        ii, jj = ii[touch_new][:cap], jj[touch_new][:cap]
-        a_idx.append(s + ii)
-        b_idx.append(s + jj)
-    if not a_idx:
-        return pa.table(
-            {
-                "a": pa.array([], pa.string()),
-                "b": pa.array([], pa.string()),
-                "simhash_a": pa.array([], pa.uint64()),
-                "simhash_b": pa.array([], pa.uint64()),
-                "truncated": pa.array([], pa.int64()),
-            }
-        )
-    ai, bi = np.concatenate(a_idx), np.concatenate(b_idx)
-    a_s, b_s = conv[ai], conv[bi]
-    swap = a_s > b_s
-    return pa.table(
-        {
-            "a": pa.array(np.where(swap, b_s, a_s), pa.string()),
-            "b": pa.array(np.where(swap, a_s, b_s), pa.string()),
-            "simhash_a": pa.array(np.where(swap, simh[bi], simh[ai])),
-            "simhash_b": pa.array(np.where(swap, simh[ai], simh[bi])),
-            "truncated": pa.array(np.zeros(len(ai), np.int64)),
-        }
-    )
 
 
 def incremental_dedupe(
@@ -179,13 +127,19 @@ def incremental_dedupe(
 
         flagged = bands.map_batches(_flag, batch_format="pyarrow",
                                     zero_copy_batch=True)
-        raw = grouped_partitions(
-            flagged, "band_key",
-            lambda t: _emit_delta_pairs_partition(t, cfg), P_bands,
-        )
+        # the SHARED salted/capped emission (stages.blocking): the is_new
+        # column restricts output to pairs touching ≥1 delta row via
+        # new×all emission (O(n_new·size) per block, never a full triu), with
+        # hot-block salting and counted truncation identical to the base path
+        raw = emit_pairs(flagged, cfg, num_parts=P_bands)
         return dedup_pairs(raw, cfg, num_parts=P_bands)
 
-    fp_pairs = cp.input_fingerprint("delta_signatures")
+    # fold the BASE run's artifacts into every delta fingerprint (as on-disk
+    # paths: sizes+mtimes): a base work dir rebuilt with different data but the
+    # same config hash must invalidate the delta checkpoints, not reuse them
+    base_exact = base.stage_dir("exact_dedup")
+    base_edges = base.stage_dir("edges")
+    fp_pairs = cp.input_fingerprint("delta_signatures", base_exact)
     pairs = cp.run("delta_pairs", fp_pairs, _build_pairs)
 
     # score: broadcast LUT over old reps + delta signatures
@@ -221,7 +175,7 @@ def incremental_dedupe(
         )
         return score_pairs(pairs, cfg, lut_ref=ray.put(lut))
 
-    fp_scored = cp.input_fingerprint("delta_pairs")
+    fp_scored = cp.input_fingerprint("delta_pairs", base_exact)
     scored = cp.run("delta_pairs_scored", fp_scored, _build_scored)
 
     # merged edges: base accepted ∪ delta accepted ∪ delta exact-dup edges
@@ -232,7 +186,7 @@ def incremental_dedupe(
         # (identical content shares every band), so no digest join is needed
         return accepted.union(old_edges)
 
-    fp_edges = cp.input_fingerprint("delta_pairs_scored")
+    fp_edges = cp.input_fingerprint("delta_pairs_scored", base_edges)
     edges = cp.run("edges", fp_edges, _build_edges)
 
     def _build_clusters():

@@ -169,7 +169,30 @@ def emit_bands(reps: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
 # salted pair emission (J1 + A5 + O1)
 # ---------------------------------------------------------------------------
 
+def _member_pairs(size: int, new_sub: np.ndarray | None):
+    """Local (ii, jj) index pairs within a block of `size` members.
+
+    new_sub=None → all unordered pairs (triu). Otherwise only pairs touching
+    ≥1 new member, emitted as new×old cross product + new×new triu —
+    O(n_new·size) allocation, never O(size²) (the round-1 delta path built the
+    full triu then filtered, which a viral block turns into tens of GB)."""
+    if new_sub is None:
+        return np.triu_indices(size, 1)
+    ni = np.flatnonzero(new_sub)
+    oi = np.flatnonzero(~new_sub)
+    ii = [np.repeat(ni, len(oi))]
+    jj = [np.tile(oi, len(ni))]
+    if len(ni) > 1:
+        ti, tj = np.triu_indices(len(ni), 1)
+        ii.append(ni[ti])
+        jj.append(ni[tj])
+    return np.concatenate(ii), np.concatenate(jj)
+
+
 def _emit_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
+    """Salted, capped pair emission within a band bucket. If the table carries
+    an ``is_new`` column (incremental delta path), only pairs touching ≥1 new
+    row are emitted — same salting and truncation accounting either way."""
     idx = pc.sort_indices(
         t, sort_keys=[("band_key", "ascending"), ("conv_id", "ascending")]
     )
@@ -177,6 +200,10 @@ def _emit_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
     keys = t.column("band_key").to_numpy()
     conv = t.column("conv_id").to_pandas().to_numpy()  # object array of str
     simh = t.column("simhash").to_numpy()
+    is_new = (
+        t.column("is_new").to_numpy(zero_copy_only=False)
+        if "is_new" in t.column_names else None
+    )
     n = len(keys)
     first = np.ones(n, bool)
     if n > 1:
@@ -192,7 +219,7 @@ def _emit_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
     conv_hash = None
     for s, e in zip(starts, ends):
         size = e - s
-        if size < 2:
+        if size < 2 or (is_new is not None and not is_new[s:e].any()):
             continue
         if size > hot:
             # salted split: deterministic sub-blocks by conv-id hash (A5)
@@ -210,14 +237,18 @@ def _emit_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
                 members = local[lo:hi]
                 if len(members) < 2:
                     continue
-                ii, jj = np.triu_indices(len(members), 1)
+                new_sub = is_new[members] if is_new is not None else None
+                if new_sub is not None and not new_sub.any():
+                    continue
+                ii, jj = _member_pairs(len(members), new_sub)
                 if len(ii) > cap:
                     truncated += len(ii) - cap
                     ii, jj = ii[:cap], jj[:cap]
                 a_idx.append(members[ii])
                 b_idx.append(members[jj])
         else:
-            ii, jj = np.triu_indices(size, 1)
+            new_sub = is_new[s:e] if is_new is not None else None
+            ii, jj = _member_pairs(size, new_sub)
             if len(ii) > cap:
                 truncated += len(ii) - cap
                 ii, jj = ii[:cap], jj[:cap]

@@ -64,13 +64,16 @@ class CheckpointManager:
         self._manifest_hashes: dict[str, str] = {}
         self._manifests_mem: dict[str, dict] = {}
         self._pending: dict[str, "threading.Thread"] = {}
+        self._write_errors: dict[str, BaseException] = {}
         self.async_writes = async_writes
         self.events: list[dict] = []  # run log: hit/miss per stage
         os.makedirs(work_dir, exist_ok=True)
 
     # -- async write support -------------------------------------------------
     def wait(self, name: str | None = None) -> None:
-        """Join the background checkpoint write for `name` (or all)."""
+        """Join the background checkpoint write for `name` (or all). A failed
+        write (disk full, permission) re-raises HERE — "durable before return"
+        must not report success over a silently-missing checkpoint."""
         import threading  # noqa: F401  (typing)
 
         names = [name] if name else list(self._pending)
@@ -78,6 +81,14 @@ class CheckpointManager:
             t = self._pending.pop(n, None)
             if t is not None:
                 t.join()
+        for n in ([name] if name else list(self._write_errors)):
+            err = self._write_errors.pop(n, None)
+            if err is not None:
+                self.events.append({"stage": n, "action": "write_failed",
+                                    "error": repr(err)})
+                raise RuntimeError(
+                    f"async checkpoint write for stage {n!r} failed"
+                ) from err
 
     def flush(self) -> None:
         self.wait(None)
@@ -159,7 +170,15 @@ class CheckpointManager:
         if self.async_writes:
             import threading
 
-            t = threading.Thread(target=_write, name=f"ckpt-{name}", daemon=False)
+            def _write_guarded() -> None:
+                try:
+                    _write()
+                except BaseException as e:  # surfaced by wait()/flush()
+                    self._write_errors[name] = e
+
+            t = threading.Thread(
+                target=_write_guarded, name=f"ckpt-{name}", daemon=False
+            )
             t.start()
             self._pending[name] = t
         else:

@@ -66,6 +66,61 @@ def test_incremental_matches_full_rerun(split_corpus, ray_session):
     assert set(inc["conv_id"]) == set(full["conv_id"])
 
 
+def test_incremental_viral_delta_matches_full_rerun(tmp_path, ray_session):
+    """Viral-fanout hot blocks in the DELTA path: the shared salted emission
+    must keep matching a full re-run (round-1's delta emitter built a full
+    O(size²) triu per band and had no salting — VERDICT r1 #2)."""
+    import pyarrow.compute as pc
+
+    d = tmp_path
+    full_dir = str(d / "full")
+    # viral_fanout high enough that several bands exceed hot_block_threshold
+    write_corpus(FixtureSpec(n_base=30, viral_fanout=90), full_dir,
+                 shuffle_rows=True)
+    t = pq.read_table(f"{full_dir}/transcripts.parquet")
+    convs = sorted(set(t.column("conv_id").to_pylist()))
+    cut = int(len(convs) * 0.6)  # viral members split across base AND delta
+    mask = pc.is_in(t.column("conv_id"), pa.array(convs[:cut]))
+    base_p, delta_p = str(d / "base.parquet"), str(d / "delta.parquet")
+    pq.write_table(t.filter(mask), base_p)
+    pq.write_table(t.filter(pc.invert(mask)), delta_p)
+
+    cfg = Config(work_dir=str(d / "w_base"))
+    dedupe_pipeline(base_p, cfg)
+    out = incremental_dedupe(delta_p, cfg.work_dir, cfg, str(d / "w_inc"))
+    inc = out["clusters"].to_pandas()
+
+    cfg_full = Config(work_dir=str(d / "w_full"))
+    full = dedupe_pipeline(
+        f"{full_dir}/transcripts.parquet", cfg_full
+    )["clusters"].to_pandas()
+
+    assert _partition(inc) == _partition(full)
+    assert inc["conv_id"].is_unique
+    assert set(inc["conv_id"]) == set(full["conv_id"])
+
+
+def test_incremental_invalidated_by_base_rebuild(split_corpus, ray_session, tmp_path):
+    """Rebuilding the BASE work dir (same config, different data) must
+    invalidate the delta checkpoints — the delta fingerprints fold in the base
+    exact_dedup/edges artifacts (ADVICE r1)."""
+    full_dir, base_p, delta_p, work = split_corpus
+    cfg = Config(work_dir=str(tmp_path / "wb"))
+    dedupe_pipeline(base_p, cfg)
+    out_dir = str(tmp_path / "w_inc2")
+    out1 = incremental_dedupe(delta_p, cfg.work_dir, cfg, out_dir)
+    out1["_checkpoints"].flush()
+
+    # rebuild the base from different data (the delta file), same config hash
+    import shutil
+
+    shutil.rmtree(cfg.work_dir)
+    dedupe_pipeline(delta_p, cfg)
+    out2 = incremental_dedupe(delta_p, cfg.work_dir, cfg, out_dir)
+    actions = {e["stage"]: e["action"] for e in out2["_checkpoints"].events}
+    assert actions["delta_pairs"] == "run"  # not a stale "skip"
+
+
 def test_incremental_rejects_mismatched_config(split_corpus, ray_session):
     _, base_p, delta_p, work = split_corpus
     cfg = Config(work_dir=os.path.join(work, "w_base"))

@@ -79,6 +79,25 @@ def test_minhash_estimates_jaccard(mode):
     assert estimate_jaccard(sig[0], sig[0]) == 1.0
 
 
+def test_minhash_oph_fast_and_fallback_paths_identical():
+    # the packed-sort fast path (n*K < 2^24) and the argsort fallback must emit
+    # bit-identical signatures: rows of the same doc can land in batches of
+    # different sizes, and band keys compare raw signature values across rows
+    rng = np.random.default_rng(9)
+    K = 128
+    n_small = 16
+    counts = rng.integers(1, 40, n_small)
+    sh = rng.integers(0, 2**63, int(counts.sum()), dtype=np.uint64)
+    bnd = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    sig_fast = minhash_signatures(sh, bnd, K, 42, "oph")  # 16*128 < 2^24
+    # same rows inside a batch big enough to trip the fallback: pad with
+    # empty-shingle rows (row count drives n*K, not shingle count)
+    n_pad = (1 << 24) // K + 8 - n_small
+    bnd_big = np.concatenate([bnd, np.full(n_pad, bnd[-1], np.int64)])
+    sig_big = minhash_signatures(sh, bnd_big, K, 42, "oph")
+    assert np.array_equal(sig_fast, sig_big[:n_small])
+
+
 def test_minhash_invariant_under_shingle_order():
     # same multiset of shingles, different order → identical signature
     sh = np.array([5, 9, 1, 7, 3], dtype=np.uint64)
