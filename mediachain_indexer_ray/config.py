@@ -82,6 +82,11 @@ class Config:
     scorer_concurrency: int = 4      # scorer actor pool size (min; scales with CPUs)
     num_hash_partitions: int = 0     # 0 → derive from cluster CPUs
     closure_max_rounds: int = 32     # hash-to-min safety bound (O(log d) expected)
+    closure_fanin: int = 256         # R: giant-component relay width — a local
+                                     # component larger than R routes member
+                                     # registration through R salted virtual
+                                     # relay nodes instead of fanning all rows
+                                     # into the component-minimum's partition
 
     # ---- io ----------------------------------------------------------------
     work_dir: str = "/tmp/mc_ray_work"

@@ -867,39 +867,73 @@ UNION ALL SELECT 990, quantile_disc(cents, 0.99) FROM c
 
 # ---------------------------------------------------------------------------
 # anti join (D4 "except" semantics as a standalone relational op): orders
-# with no lineitems — broadcast the distinct-key hash set (small side); at
-# scale this becomes the same co-partitioned shuffle as stages/joins.py
+# with no lineitems — co-partitioned shuffle anti join (one hash shuffle on
+# the TRUE key, exact compare in-bucket). Neither side is ever materialized
+# on the driver or broadcast, so this is the 100-TB path; exact int64 key
+# equality means no hash-collision false drops (VERDICT r1 #3).
 # ---------------------------------------------------------------------------
 
-def orders_without_lineitems(sf_dir: str):
-    from mediachain_indexer_ray.functions.hashing import splitmix64
+def anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_on: str,
+    right_on: str,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Left rows whose `left_on` key (integral) has NO match in `right`.
+    Both sides stream through ONE hash shuffle on the key; per bucket a
+    vectorized sorted-set difference keeps non-matching left rows."""
+    from mediachain_indexer_ray.stages.partition import grouped_partitions
 
-    cust = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    ok = _read(sf_dir, "lineitem", ["l_orderkey"])
+    _K, _S = "__k", "__side"
+    lschema = left.schema()
+    carry = [n for n in lschema.names]
+    carry_types = {n: lschema.types[lschema.names.index(n)] for n in carry}
 
-    def _keys(b: pa.Table) -> pa.Table:
-        h = splitmix64(b.column("l_orderkey").to_numpy().astype(np.uint64))
-        return pa.table({"h": pa.array(np.unique(h))})
+    def _norm_left(t: pa.Table) -> pa.Table:
+        cols = {_K: pc.cast(t.column(left_on), pa.int64()),
+                _S: pa.array(np.zeros(t.num_rows, np.int8))}
+        for c in carry:
+            cols[c] = t.column(c)
+        return pa.table(cols)
 
-    keys = ok.map_batches(_keys, batch_format="pyarrow", zero_copy_batch=True)
-    tabs = [t for t in ray.get(keys.to_arrow_refs()) if t.num_rows > 0]
-    hs = (
-        np.unique(np.concatenate([t.column("h").to_numpy() for t in tabs]))
-        if tabs else np.empty(0, np.uint64)
+    def _norm_right(t: pa.Table) -> pa.Table:
+        # pre-aggregate map-side: distinct keys per batch (the anti join only
+        # needs key PRESENCE, so the big side shrinks before the shuffle)
+        k = np.unique(t.column(right_on).to_numpy().astype(np.int64))
+        cols = {_K: pa.array(k), _S: pa.array(np.ones(len(k), np.int8))}
+        for c in carry:
+            cols[c] = pa.nulls(len(k), carry_types[c])
+        return pa.table(cols)
+
+    u = left.map_batches(
+        _norm_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(_norm_right, batch_format="pyarrow", zero_copy_batch=True)
     )
-    hs_ref = ray.put(hs)
 
-    def _anti(b: pa.Table) -> pa.Table:
-        have = ray.get(hs_ref)
-        h = splitmix64(b.column("o_orderkey").to_numpy().astype(np.uint64))
+    def _anti(t: pa.Table) -> pa.Table:
+        side = t.column(_S).to_numpy()
+        k = t.column(_K).to_numpy()
+        lmask = side == 0
+        have = np.unique(k[~lmask])
+        lk = k[lmask]
         if len(have):
-            pos = np.clip(np.searchsorted(have, h), 0, len(have) - 1)
-            keep = have[pos] != h
+            pos = np.clip(np.searchsorted(have, lk), 0, len(have) - 1)
+            keep = have[pos] != lk
         else:
-            keep = np.ones(len(h), bool)
-        return b.filter(pa.array(keep))
+            keep = np.ones(len(lk), bool)
+        out = t.filter(pa.array(lmask)).filter(pa.array(keep))
+        return out.drop_columns([_K, _S])
 
-    return cust.map_batches(_anti, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_partitions(u, _K, _anti, num_parts)
+
+
+def orders_without_lineitems(sf_dir: str):
+    cust = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return anti_join(cust, li, left_on="o_orderkey", right_on="l_orderkey")
 
 
 ORDERS_WITHOUT_LINEITEMS_SQL = """

@@ -40,22 +40,68 @@ def _edges_to_initial(edges: ray.data.Dataset) -> ray.data.Dataset:
     return edges.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _hash_to_min_round(t: pa.Table) -> pa.Table:
-    """One Hash-to-Min round over a u-bucket WITH LOCAL CONTRACTION: compute
-    the connected components of the bucket's local (u,v) subgraph (vectorized
-    min-label propagation with pointer jumping), then emit (w, m) and (m, w)
-    for every node w of a local component with minimum m. Equivalent to
-    Hash-to-Min with in-partition path compression — global rounds collapse to
-    ~2 for the clique/star graphs dedupe produces, instead of O(log d)."""
+RELAY_MARKER = "\x01"  # reserved char: real conv ids must not contain it
+
+
+def _decode_relays(nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray | None]:
+    """For a sorted unique node array: (is_virtual mask, decoded root per
+    virtual node). Virtual relay ids are ``root + RELAY_MARKER + salt``."""
+    arr = pa.array(nodes, pa.string())
+    is_v = np.asarray(
+        pc.match_substring(arr, RELAY_MARKER).to_numpy(zero_copy_only=False)
+    )
+    if not is_v.any():
+        return is_v, None
+    sub = arr.filter(pa.array(is_v))
+    roots = (
+        pc.list_element(pc.split_pattern(sub, RELAY_MARKER, max_splits=1), 0)
+        .to_pandas().to_numpy()
+    )
+    return is_v, roots
+
+
+def _hash_to_min_round(t: pa.Table, fanin: int = 256) -> pa.Table:
+    """One Hash-to-Min round over a hash partition WITH LOCAL CONTRACTION:
+    compute connected components of the partition's local (u,v) subgraph
+    (vectorized min-label propagation with pointer jumping), then emit
+
+    * down rows ``(w, m)`` for every node (each node keeps learning its
+      component minimum), and
+    * up rows that let the minimum re-broadcast label improvements — but
+      routed through SALTED VIRTUAL RELAY nodes (``m\\x01salt``) when a local
+      component exceeds ``fanin``: ``(relay, w)`` + distinct ``(m, relay)``
+      instead of ``(m, w)`` for every member. The partition holding a viral
+      component's minimum then receives O(P·fanin) relay rows instead of the
+      whole component, and each relay's partition O(|C|/fanin) member rows
+      (the balanced-tree idea of BTS, ICDE 2024 — PAPERS.md:5). Virtual nodes
+      encode their root in their id; each round re-adds the implicit
+      (relay → root) edge, and the final labeling drops virtual rows.
+
+    Equivalent to Hash-to-Min with in-partition path compression — global
+    rounds stay ~2-4 for the clique/star graphs dedupe produces."""
     n = t.num_rows
     if n == 0:
         return pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
     un = t.column("u").to_pandas().to_numpy()
     vn = t.column("v").to_pandas().to_numpy()
-    # node universe of this bucket, in sorted order (so index order = string
-    # order and min-index == min-string)
-    nodes, inv = np.unique(np.concatenate([un, vn]), return_inverse=True)
-    ui, vi = inv[:n], inv[n:]
+    # node universe of this partition, in sorted order (so index order =
+    # string order and min-index == min-string)
+    nodes0 = np.unique(np.concatenate([un, vn]))
+    is_v0, vroots = _decode_relays(nodes0)
+    if vroots is not None:
+        # implicit relay→root edges (the decoded root may be absent from this
+        # partition's rows — fold it into the node universe first)
+        nodes = np.unique(np.concatenate([nodes0, vroots]))
+        eu = np.searchsorted(nodes, nodes0[is_v0])
+        ev = np.searchsorted(nodes, vroots)
+        ui = np.searchsorted(nodes, un)
+        vi = np.searchsorted(nodes, vn)
+        ui = np.concatenate([ui, eu])
+        vi = np.concatenate([vi, ev])
+    else:
+        nodes = nodes0
+        ui = np.searchsorted(nodes, un)
+        vi = np.searchsorted(nodes, vn)
     labels = np.arange(len(nodes), dtype=np.int64)
     while True:
         prev = labels
@@ -66,12 +112,47 @@ def _hash_to_min_round(t: pa.Table) -> pa.Table:
         if np.array_equal(labels, prev):
             break
     roots = nodes[labels]
-    # emit (w, m) ∀w plus (m, w) ∀w≠m, dedup'd by construction over unique nodes
-    non_root = roots != nodes
-    out_u = np.concatenate([nodes, roots[non_root]])
-    out_v = np.concatenate([roots, nodes[non_root]])
+    is_virtual, _ = _decode_relays(nodes)
+    non_root = labels != np.arange(len(nodes))
+
+    # component sizes (by root label index) decide direct vs relay up-routing
+    comp_size = np.bincount(labels, minlength=len(nodes))
+    big = comp_size[labels] > fanin
+
+    out_u = [nodes]   # down rows: (w, m) ∀ w (includes (m, m) self rows)
+    out_v = [roots]
+    direct = non_root & (~big | is_virtual)
+    if direct.any():
+        # small components, and virtual members of big ones, report straight
+        # to the minimum — both are bounded (≤ fanin, ≤ distinct relays)
+        out_u.append(roots[direct])
+        out_v.append(nodes[direct])
+    relayed = non_root & big & ~is_virtual
+    if relayed.any():
+        from mediachain_indexer_ray.functions.hashing import hash_strings
+
+        salts = hash_strings(
+            pa.array(nodes[relayed], pa.string()), seed=0xC10
+        ) % np.uint64(fanin)
+        relay_ids = (
+            pc.binary_join_element_wise(
+                pa.array(roots[relayed], pa.string()),
+                pa.array(salts.astype("U"), pa.string()),
+                RELAY_MARKER,
+            ).to_pandas().to_numpy()
+        )
+        out_u.append(relay_ids)            # (relay, w): relay learns member
+        out_v.append(nodes[relayed])
+        # distinct (m, relay) rows: pack (root label idx, salt) to dedup
+        packed = labels[relayed].astype(np.uint64) * np.uint64(fanin) + salts
+        uniq_idx = np.unique(packed, return_index=True)[1]
+        out_u.append(roots[relayed][uniq_idx])
+        out_v.append(relay_ids[uniq_idx])
     return pa.table(
-        {"u": pa.array(out_u, pa.string()), "v": pa.array(out_v, pa.string())}
+        {
+            "u": pa.array(np.concatenate(out_u), pa.string()),
+            "v": pa.array(np.concatenate(out_v), pa.string()),
+        }
     )
 
 
@@ -111,8 +192,11 @@ def connected_components(
     prev_sig: tuple[int, int] | None = None
     prev_count = -1
     P = cfg.num_hash_partitions or num_parts
+    fanin = cfg.closure_fanin
     for rnd in range(1, cfg.closure_max_rounds + 1):
-        nxt = grouped_partitions(cur, "u", _hash_to_min_round, P)
+        nxt = grouped_partitions(
+            cur, "u", lambda t: _hash_to_min_round(t, fanin), P
+        )
         # each round's frontier is consumed twice (checksum + next round) and
         # feeds an iterative chain — materialize to stop lineage re-execution
         nxt = checkpoint(f"closure_r{rnd}", nxt) if checkpoint is not None else nxt.materialize()
@@ -134,6 +218,9 @@ def connected_components(
         cur = nxt
 
     def _labels(t: pa.Table) -> pa.Table:
+        # virtual relay rows are execution plumbing, not entities
+        keep = pc.invert(pc.match_substring(t.column("u"), RELAY_MARKER))
+        t = t.filter(keep)
         idx = pc.sort_indices(t, sort_keys=[("u", "ascending"), ("v", "ascending")])
         t = t.take(idx)
         un = t.column("u").to_pandas().to_numpy()

@@ -23,10 +23,9 @@ from mediachain_indexer_ray.config import Config
 from mediachain_indexer_ray.functions.simhash import hamming64, simhash_cosine
 from mediachain_indexer_ray.functions.strsim import (
     jaccard_from_lut,
-    jaccard_from_sets,
     jaro_winkler_batch,
     levenshtein_ratio_batch,
-    shingle_sets,
+    shingle_set_table,
 )
 
 
@@ -49,7 +48,14 @@ class PairScorer:
             [cfg.w_jaccard, cfg.w_cosine, cfg.w_jw, cfg.w_lev], np.float64
         )
         self.tau = cfg.tau
-        self._shingle_cache: dict[str, np.ndarray] = {}
+        # join-path shingle-set cache: append-only SEGMENTS of
+        # (sorted uint64 id-hash keys, offsets, uint32 set values), probed with
+        # vectorized searchsorted and compacted when the segment count grows —
+        # no python dict probing, no .to_pylist() in the hot loop (VERDICT r1
+        # #6). Entries are bounded by CACHE_MAX_ENTRIES (clear-all on overflow,
+        # same policy as the round-1 dict).
+        self._seg: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._seg_rows = 0
         # broadcast feature-text lookup (ONE zero-copy plasma get per actor):
         # when set, __call__ accepts bare candidate pairs and does the simhash
         # prefilter + text attach itself — three pipeline stages folded into
@@ -89,28 +95,112 @@ class PairScorer:
         idx = pa.array(pos, pa.int64(), mask=~hit)
         return pc.fill_null(self._lut_texts.take(idx), "")
 
-    def _sets_for(self, ids: list, texts: pa.Array) -> list[np.ndarray]:
-        """conv_id → sorted-unique sampled shingle-hash set, cached per actor;
-        misses are shingled in ONE vectorized pass over their texts."""
-        cache = self._shingle_cache
-        miss_idx: list[int] = []
-        miss_ids: list = []
-        seen: set = set()
-        for i, cid in enumerate(ids):
-            if cid not in cache and cid not in seen:
-                seen.add(cid)
-                miss_idx.append(i)
-                miss_ids.append(cid)
-        if miss_idx:
-            if len(cache) + len(miss_ids) > self.CACHE_MAX_ENTRIES:
-                cache.clear()
-            sub = texts.take(pa.array(miss_idx, pa.int64()))
-            for cid, s in zip(
-                miss_ids,
-                shingle_sets(sub, self.cfg.shingle_k, self.cfg.scorer_sample_mod),
-            ):
-                cache[cid] = s
-        return [cache[c] for c in ids]
+    def _probe(self, uniq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Locate sorted-unique id-hashes across cache segments:
+        (segment id or -1, position within segment)."""
+        seg_id = np.full(len(uniq), -1, np.int32)
+        pos = np.zeros(len(uniq), np.int64)
+        for si, (keys, _off, _val) in enumerate(self._seg):
+            if not len(keys):
+                continue
+            p = np.clip(np.searchsorted(keys, uniq), 0, len(keys) - 1)
+            hit = (keys[p] == uniq) & (seg_id < 0)
+            seg_id[hit] = si
+            pos[hit] = p[hit]
+        return seg_id, pos
+
+    def _add_segment(self, keys: np.ndarray, off: np.ndarray, val: np.ndarray) -> int:
+        """Append a pre-sorted miss segment; compact when fragmented."""
+        if self._seg_rows + len(keys) > self.CACHE_MAX_ENTRIES:
+            self._seg.clear()
+            self._seg_rows = 0
+        self._seg.append((keys, off.astype(np.int64), val))
+        self._seg_rows += len(keys)
+        if len(self._seg) > 32:
+            self._compact()
+        return len(self._seg) - 1
+
+    def _compact(self) -> None:
+        """Merge all segments into one sorted segment (amortized: runs every
+        ~32 miss batches; O(rows log rows) keys sort + one values gather)."""
+        keys = np.concatenate([s[0] for s in self._seg])
+        counts = np.concatenate([np.diff(s[1]) for s in self._seg])
+        shifts = np.cumsum([0] + [len(s[2]) for s in self._seg[:-1]])
+        starts = np.concatenate(
+            [s[1][:-1] + sh for s, sh in zip(self._seg, shifts)]
+        )
+        vals = np.concatenate([s[2] for s in self._seg])
+        order = np.argsort(keys, kind="stable")
+        c, st = counts[order], starts[order]
+        off = np.zeros(len(keys) + 1, np.int64)
+        np.cumsum(c, out=off[1:])
+        total = int(off[-1])
+        within = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], c)
+        self._seg = [(keys[order], off, vals[np.repeat(st, c) + within])]
+
+    def _bank(self, seg_id: np.ndarray, pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Gather the addressed sets into one batch-local (offsets, values)
+        bank, in input order — feeds jaccard_from_lut directly."""
+        m = len(seg_id)
+        counts = np.zeros(m, np.int64)
+        for si, (_k, off, _v) in enumerate(self._seg):
+            sel = seg_id == si
+            if sel.any():
+                p = pos[sel]
+                counts[sel] = off[p + 1] - off[p]
+        bank_off = np.zeros(m + 1, np.int64)
+        np.cumsum(counts, out=bank_off[1:])
+        bank_val = np.empty(int(bank_off[-1]), np.uint32)
+        for si, (_k, off, val) in enumerate(self._seg):
+            sel = np.flatnonzero(seg_id == si)
+            if not len(sel):
+                continue
+            c = counts[sel]
+            tot = int(c.sum())
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(c[:-1])]).astype(np.int64), c
+            )
+            src = np.repeat(off[pos[sel]], c) + within
+            dest = np.repeat(bank_off[sel], c) + within
+            bank_val[dest] = val[src]
+        return bank_off, bank_val
+
+    def _join_path_jaccard(self, batch: pa.Table, ta: pa.Array, tb: pa.Array) -> np.ndarray:
+        """Jaccard for the shuffle-join path: endpoints are id-hashed
+        (vectorized), sets resolved from the segmented cache with searchsorted;
+        misses are shingled once per unique id per actor."""
+        from mediachain_indexer_ray.functions.hashing import hash_strings
+
+        n = batch.num_rows
+        h = np.concatenate([
+            hash_strings(batch.column("a").combine_chunks(), seed=0x1D),
+            hash_strings(batch.column("b").combine_chunks(), seed=0x1D),
+        ])
+        uniq, first_occ, inv = np.unique(h, return_index=True, return_inverse=True)
+        texts_all = None
+        # resolve loop (≤2 real iterations): a clear-on-overflow inside
+        # _add_segment can evict entries that were hits on the first probe, so
+        # re-probe and re-shingle until every unique endpoint resolves
+        for _ in range(4):
+            seg_id, pos = self._probe(uniq)
+            miss = np.flatnonzero(seg_id < 0)
+            if not len(miss):
+                break
+            if texts_all is None:
+                texts_all = pa.concat_arrays([ta, tb])
+            m_off, m_val = shingle_set_table(
+                texts_all.take(pa.array(first_occ[miss], pa.int64())),
+                self.cfg.shingle_k, self.cfg.scorer_sample_mod,
+            )
+            self._add_segment(uniq[miss], m_off, m_val)
+        else:  # pragma: no cover — cache smaller than one batch's endpoints
+            raise RuntimeError("scorer shingle cache cannot hold one batch")
+        bank_off, bank_val = self._bank(seg_id, pos)
+        hit = np.ones(len(h), bool)
+        return jaccard_from_lut(
+            bank_off, bank_val, inv[:n].astype(np.int64), hit[:n],
+            inv[n:].astype(np.int64), hit[n:],
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -146,10 +236,7 @@ class PairScorer:
                 loc_a[0], loc_a[1], loc_b[0], loc_b[1],
             )
         else:  # join path: shingle on demand, cached per actor
-            jac = jaccard_from_sets(
-                self._sets_for(batch.column("a").to_pylist(), ta),
-                self._sets_for(batch.column("b").to_pylist(), tb),
-            )
+            jac = self._join_path_jaccard(batch, ta, tb)
         cos = simhash_cosine(
             batch.column("simhash_a").to_numpy(), batch.column("simhash_b").to_numpy()
         )

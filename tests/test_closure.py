@@ -61,3 +61,79 @@ def test_star_and_singleton_free():
     assert got["hub"] == "hub"
     assert all(got[f"s{i}"] == "hub" for i in range(20))
     assert got["x"] == got["y"] == "x"
+
+
+def test_giant_star_matches_networkx():
+    """A viral component (star ≫ closure_fanin) still matches networkx via
+    the salted-relay routing (VERDICT r1 #7)."""
+    n = 30_000
+    edges = [("hub000", f"m{i:06d}") for i in range(n)] + [("zz1", "zz2")]
+    cfg = Config(num_hash_partitions=8, closure_fanin=64)
+    got = _run_cc(edges, cfg)
+    assert got == _oracle(edges)
+
+
+def test_giant_star_bounded_fanin_rounds():
+    """Drive the round function per hash-partition IN-PROCESS on a giant star
+    and assert no partition's input ever approaches the component size — the
+    relay routing caps the minimum's fan-in at ~P·fanin and each relay at
+    ~|C|/fanin (VERDICT r1 #7: 'without one bucket holding the whole
+    component')."""
+    from mediachain_indexer_ray.functions.hashing import hash_strings
+    from mediachain_indexer_ray.stages.closure import _hash_to_min_round
+
+    n = 100_000
+    P, fanin = 8, 64
+    hub = "hub000"
+    u = np.array([hub] * n + [f"m{i:06d}" for i in range(n)], object)
+    v = np.array([f"m{i:06d}" for i in range(n)] + [hub] * n, object)
+
+    max_part_rows = 0  # max partition input size, rounds ≥ 2 (steady state)
+    max_root_fanin = 0
+    for rnd in range(6):  # a few rounds to reach the fixpoint shape
+        part = (
+            hash_strings(pa.array(u, pa.string()), seed=0x5EED)
+            % np.uint64(P)
+        ).astype(np.int64)
+        outs = []
+        for p in range(P):
+            sel = part == p
+            if not sel.any():
+                continue
+            if rnd >= 2:
+                max_part_rows = max(max_part_rows, int(sel.sum()))
+            t = pa.table({"u": pa.array(u[sel], pa.string()),
+                          "v": pa.array(v[sel], pa.string())})
+            outs.append(_hash_to_min_round(t, fanin))
+        out = pa.concat_tables(outs)
+        u = out.column("u").to_pandas().to_numpy()
+        v = out.column("v").to_pandas().to_numpy()
+        max_root_fanin = max(max_root_fanin, int((u == hub).sum()))
+
+    # the root's rows are relay handles, never the member list: O(P·fanin)
+    # (each partition contributes ≤ fanin distinct (root, relay) rows plus
+    # ≤ fanin direct rows for virtual members it hosts), NOT O(n)
+    assert max_root_fanin <= 4 * P * fanin, max_root_fanin
+    assert max_root_fanin < n // 20
+    # steady-state partition load = O(n/P + (n/fanin)·relays-per-partition),
+    # below the old behavior where the root's partition alone held the whole
+    # member list (> n rows) on top of its hash share
+    assert max_part_rows < (3 * n) // 4, max_part_rows
+    # final labels: every member still points at the hub
+    lbl = {}
+    for uu, vv in zip(u, v):
+        if "\x01" in uu:
+            continue
+        lbl.setdefault(uu, vv)
+        lbl[uu] = min(lbl[uu], vv)
+    members = {k: val for k, val in lbl.items() if k != hub}
+    assert len(members) == n
+    assert set(members.values()) == {hub}
+
+
+def test_long_chain_with_relays_converges():
+    nodes = [f"q{i:05d}" for i in range(2000)]
+    edges = list(zip(nodes[:-1], nodes[1:]))
+    got = _run_cc(edges, Config(num_hash_partitions=8, closure_fanin=32))
+    assert set(got.values()) == {"q00000"}
+    assert len(got) == 2000

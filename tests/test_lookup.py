@@ -71,3 +71,17 @@ def test_ann_lsh_recall(ray_session, tmp_path):
     lset = set(map(tuple, ls[["q_vec_id", "vec_id"]].values))
     recall = len(bset & lset) / len(bset)
     assert recall >= 0.9, recall
+
+    # scaled query set (10×): the distributed top-k reduce must stay exact —
+    # compare against a local numpy brute force at n_queries=50
+    nq, k = 50, 10
+    bf50 = sim.ann_cosine_topk(str(tmp_path), n_queries=nq, k=k).to_pandas()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    Q, C = norm[:nq], norm[nq:]
+    cids = ids[nq:]
+    sims = C @ Q.T
+    for qi in range(nq):
+        order = np.lexsort((cids, -sims[:, qi]))[:k]
+        expect = list(cids[order])
+        got = list(bf50[bf50["q_vec_id"] == qi].sort_values("rank")["vec_id"])
+        assert got == expect, (qi, got, expect)
