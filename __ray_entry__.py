@@ -139,11 +139,19 @@ def _dedupe_eval(sf_dir: str):
     out = dedupe_pipeline(f"{d}/transcripts.parquet", cfg)
     labels = pd.read_parquet(f"{d}/labels.parquet")
     m = evaluate_clusters(labels, out["clusters"], out["pairs"], out["signatures"])
+    f1_milli = int(m["f1"] * 1000)
+    # the row contract IS the BASELINE.json:2 acceptance gate: a sub-0.99 F1
+    # must fail the driver run loudly, not ride through as a rows-only pass
+    if f1_milli < 990:
+        raise AssertionError(
+            f"dedupe_eval F1 gate violated: f1_milli={f1_milli} < 990 ({m})"
+        )
     return pa.table(
         {
             "precision_milli": pa.array([int(m["precision"] * 1000)]),
             "recall_milli": pa.array([int(m["recall"] * 1000)]),
-            "f1_milli": pa.array([int(m["f1"] * 1000)]),
+            "f1_milli": pa.array([f1_milli]),
+            "meets_f1_gate": pa.array([True]),
             "n_eligible": pa.array([m["n_eligible"]]),
         }
     )

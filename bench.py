@@ -88,7 +88,11 @@ def _run_flagship(corpus: str, work_dir: str) -> dict:
     out = dedupe_pipeline(corpus, cfg)
     n_clusters = out["clusters"].count()
     sec = time.time() - t0
-    return {"sec": round(sec, 2), "n_clusters": n_clusters}
+    stages = {
+        e["stage"]: e["wall_sec"] for e in out["_checkpoints"].events
+        if e.get("action") == "run"
+    }
+    return {"sec": round(sec, 2), "n_clusters": n_clusters, "stages": stages}
 
 
 def main_default() -> None:
@@ -188,69 +192,87 @@ SCALING_CPUS = tuple(
 )
 
 
+def _run_child(cpus: int, corpus: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child-flagship",
+         corpus, f"/tmp/mcray_scale_work_{cpus}"],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    if proc.returncode != 0:
+        print(proc.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(f"child run at {cpus} cpus failed")
+    child = json.loads(proc.stdout.strip().splitlines()[-1])
+    child["startup"] = round(time.time() - t0 - child["sec"], 1)
+    return child
+
+
 def main_scaling() -> None:
     """N vs 4N scaling evidence (BASELINE.md protocol). Default pair is 4→16
     CPUs: raw-Ray calibration on this VM (see BENCH/BASELINE.md) shows the box
     delivers only ~2.5x on 8→32 vCPUs even for pure warm-worker numpy — the
     hardware saturates — while 4→16 delivers ~3.6x, so 4→16 is the honest
-    software-scaling measurement."""
+    software-scaling measurement.
+
+    Runs are INTERLEAVED (lo, hi) pairs so slow VM drift (steal, thermal)
+    hits both levels alike; the PRIMARY metric is the MEDIAN of per-pair
+    efficiencies (VERDICT r1 #1: the criterion must hold at the median, not
+    best-of-N). Best-of-N is reported alongside for continuity."""
     global BENCH_TURNS
     # ≥13M turns: at 2M the per-stage constants dominate the 16-CPU run
     # (measured 0.49 efficiency vs 0.93 at 12M — see BENCH/BASELINE.md)
     BENCH_TURNS = max(BENCH_TURNS, 13_000_000)
     corpus, turns = _bench_corpus_path()
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
-    results = {}
-    for cpus in SCALING_CPUS:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-        secs = []
-        for rep in range(repeats):  # best-of-N: this VM shows ~13% run-to-run
-            t0 = time.time()        # noise (steal / clock ramp) on identical runs
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child-flagship",
-                 corpus, f"/tmp/mcray_scale_work_{cpus}"],
-                env=env, capture_output=True, text=True, timeout=3600,
-            )
-            if proc.returncode != 0:
-                print(proc.stderr[-4000:], file=sys.stderr)
-                raise SystemExit(f"child run at {cpus} cpus failed")
-            child = json.loads(proc.stdout.strip().splitlines()[-1])
-            secs.append(child["sec"])
-            print(f"[scaling] {cpus} cpus rep {rep}: {child['sec']}s "
-                  f"(+startup {round(time.time()-t0-child['sec'],1)}s)",
-                  file=sys.stderr)
-        results[cpus] = {
-            "sec": min(secs),
-            "all_secs": secs,
-            "turns_per_sec": round(turns / min(secs), 1),
-        }
-
     lo, hi = SCALING_CPUS
     factor = hi / lo
-    eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / factor
+    secs = {lo: [], hi: []}
+    stages = {}
+    pair_effs = []
+    for rep in range(repeats):
+        for cpus in (lo, hi):
+            child = _run_child(cpus, corpus)
+            secs[cpus].append(child["sec"])
+            stages[cpus] = child.get("stages") or stages.get(cpus)
+            print(f"[scaling] rep {rep} {cpus} cpus: {child['sec']}s "
+                  f"(+startup {child['startup']}s)", file=sys.stderr)
+        eff = secs[lo][-1] / (secs[hi][-1] * factor)
+        pair_effs.append(round(eff, 3))
+        print(f"[scaling] rep {rep} pair efficiency: {eff:.3f}", file=sys.stderr)
+    med = sorted(pair_effs)[len(pair_effs) // 2]
+    best = min(secs[lo]) / (min(secs[hi]) * factor)
     out = {
-        "metric": f"flagship dedupe scaling efficiency ({lo} -> {hi} cpus, fresh sessions)",
-        "value": round(eff, 3),
+        "metric": f"flagship dedupe scaling efficiency ({lo} -> {hi} cpus, "
+                  f"median of {repeats} interleaved pairs)",
+        "value": round(med, 3),
         "unit": "efficiency",
         "queries": {
-            f"flagship@{lo}cpus_sec": results[lo]["sec"],
-            f"flagship@{hi}cpus_sec": results[hi]["sec"],
+            f"flagship@{lo}cpus_sec": min(secs[lo]),
+            f"flagship@{hi}cpus_sec": min(secs[hi]),
         },
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "turns": turns,
-        "turns_per_sec": {str(k): v["turns_per_sec"] for k, v in results.items()},
-        "scaling_efficiency": round(eff, 3),
+        "all_secs": secs,
+        "pair_efficiencies": pair_effs,
+        "scaling_efficiency": round(med, 3),
+        "scaling_efficiency_best": round(best, 3),
+        "turns_per_sec": {str(c): round(turns / min(s), 1)
+                          for c, s in secs.items()},
+        "stage_walls": stages,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"\n## scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
-            f"| cpus | wall sec | turns/sec |\n|---|---|---|\n"
-            f"| {lo} | {results[lo]['sec']} | {results[lo]['turns_per_sec']} |\n"
-            f"| {hi} | {results[hi]['sec']} | {results[hi]['turns_per_sec']} |\n\n"
-            f"corpus: {turns} turns; efficiency (T{hi}/T{lo})/{factor:.0f} = "
-            f"**{eff:.3f}** (target ≥ 0.8, BASELINE.json:2)\n"
+            f"\n## scaling run {time.strftime('%Y-%m-%d %H:%M:%S')} "
+            f"(interleaved pairs, median primary)\n\n"
+            f"| cpus | wall secs (all reps) | best turns/sec |\n|---|---|---|\n"
+            f"| {lo} | {secs[lo]} | {round(turns / min(secs[lo]), 1)} |\n"
+            f"| {hi} | {secs[hi]} | {round(turns / min(secs[hi]), 1)} |\n\n"
+            f"corpus: {turns} turns; per-pair efficiencies {pair_effs} → "
+            f"**median {med:.3f}** (target ≥ 0.8, BASELINE.json:2); "
+            f"best-of-{repeats} {best:.3f}\n"
         )
     print(json.dumps(out))
 

@@ -84,10 +84,22 @@ def cmd_eval(args) -> int:
     import pandas as pd
 
     from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
-    from mediachain_indexer_ray.pipelines.evaluate import evaluate_clusters
+    from mediachain_indexer_ray.pipelines.evaluate import evaluate_clusters, sweep_eval
 
-    out = dedupe_pipeline(args.input, cfg)
     labels = pd.read_parquet(args.labels)
+    if args.sweep:
+        # reference mc_eval grid semantics: P/R/F1 over (bands, τ)
+        taus = [float(x) for x in args.taus.split(",")] if args.taus else None
+        bands = [int(x) for x in args.bands.split(",")] if args.bands else None
+        df = sweep_eval(args.input, labels, cfg, cfg.work_dir, taus, bands)
+        print(df.to_string(index=False), file=sys.stderr)
+        best = df.loc[df["f1_milli"].idxmax()]
+        print(json.dumps({
+            "grid": df.to_dict(orient="records"),
+            "best": best.to_dict(),
+        }, default=int))
+        return 0
+    out = dedupe_pipeline(args.input, cfg)
     m = evaluate_clusters(labels, out["clusters"], out["pairs"], out["signatures"])
     print(json.dumps(m))
     return 0 if m["f1"] >= args.min_f1 else 1
@@ -100,6 +112,46 @@ def cmd_fixture(args) -> int:
                        viral_fanout=args.viral_fanout)
     tp, lp = write_corpus(spec, args.out, shuffle_rows=args.shuffle)
     print(json.dumps({"transcripts": tp, "labels": lp}))
+    return 0
+
+
+def cmd_watch(args) -> int:
+    """Continuous micro-batch ingest: tail a directory of transcript shards,
+    dedupe deltas incrementally against the base run (reference
+    receive_blockchain_into_indexer semantics, batch-equivalent)."""
+    _ensure_ray()
+    cfg = _cfg_from_args(args)
+    from mediachain_indexer_ray.pipelines.streaming import IngestWatcher
+
+    w = IngestWatcher(args.watch_dir, cfg.work_dir, cfg)
+    log = w.watch(
+        poll_interval=args.poll_interval,
+        max_cycles=args.max_cycles,
+        stop_after_idle=args.stop_after_idle,
+    )
+    print(json.dumps({"cycles": log, "work_dir": w.current_work_dir()}))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Serve /search, /dupe_lookup, /score, /feedback over a completed run
+    (the reference's mc_web surface, batch-checkpoint-backed)."""
+    _ensure_ray()
+    cfg = _cfg_from_args(args)
+    from mediachain_indexer_ray.serve import serve
+
+    httpd = serve(cfg.work_dir, cfg, port=args.port)
+    print(
+        json.dumps({"listening": f"http://127.0.0.1:{httpd.server_address[1]}"}),
+        flush=True,
+    )
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:  # pragma: no cover
+        httpd.shutdown()
     return 0
 
 
@@ -133,6 +185,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--labels", required=True)
     p.add_argument("--min-f1", type=float, default=0.0)
+    p.add_argument("--sweep", action="store_true",
+                   help="grid sweep over (bands, tau) instead of one run")
+    p.add_argument("--taus", help="comma-separated tau grid (with --sweep)")
+    p.add_argument("--bands", help="comma-separated num_bands grid (with --sweep)")
     _add_config_flags(p)
     p.set_defaults(fn=cmd_eval)
 
@@ -143,6 +199,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--shuffle", action="store_true")
     p.set_defaults(fn=cmd_fixture)
+
+    p = sub.add_parser("watch", help="continuous ingest: tail a shard directory")
+    p.add_argument("--watch-dir", required=True, dest="watch_dir")
+    p.add_argument("--poll-interval", type=float, default=5.0, dest="poll_interval")
+    p.add_argument("--max-cycles", type=int, default=None, dest="max_cycles")
+    p.add_argument("--stop-after-idle", type=int, default=None, dest="stop_after_idle")
+    _add_config_flags(p)
+    p.set_defaults(fn=cmd_watch)
+
+    p = sub.add_parser("serve", help="HTTP serving surface over a completed run")
+    p.add_argument("--port", type=int, default=8900)
+    _add_config_flags(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="repo bench harness (bench.py)")
     p.add_argument("--scaling", action="store_true")

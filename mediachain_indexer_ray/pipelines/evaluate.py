@@ -106,6 +106,64 @@ def evaluate_clusters(
     }
 
 
+def sweep_eval(
+    transcripts_path: str,
+    labels: pd.DataFrame,
+    cfg,
+    work_root: str,
+    taus: list[float] | None = None,
+    bands_list: list[int] | None = None,
+) -> pd.DataFrame:
+    """Hyperparameter grid sweep — the reference ``mc_eval`` grid semantics:
+    P/R/F1 over (num_bands, τ). One full pipeline run per bands config (the
+    expensive part: signatures + blocking + scoring); each τ is then a cheap
+    re-threshold of the SCORED pairs plus a closure re-run, because τ only
+    gates edge acceptance. Returns a tidy DataFrame
+    (num_bands, band_rows, tau_milli, precision_milli, recall_milli, f1_milli,
+    n_eligible)."""
+    import os
+
+    from mediachain_indexer_ray.config import Config  # noqa: F401 (typing)
+    from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
+    from mediachain_indexer_ray.stages.blocking import split_exact_dedup
+    from mediachain_indexer_ray.stages.closure import connected_components
+    from mediachain_indexer_ray.state.checkpoint import read_checkpoint
+
+    taus = taus or [0.45, 0.55, 0.62, 0.7, 0.8]
+    bands_list = bands_list or [16, 32, 64]
+    rows = []
+    for b in bands_list:
+        if cfg.num_perm % b:
+            raise ValueError(f"num_bands {b} does not divide num_perm {cfg.num_perm}")
+        cfg_b = cfg.with_(
+            num_bands=b, band_rows=cfg.num_perm // b,
+            work_dir=os.path.join(work_root, f"bands{b}"),
+        )
+        out = dedupe_pipeline(transcripts_path, cfg_b)
+        _, exact_edges = split_exact_dedup(
+            read_checkpoint(out["_checkpoints"].stage_dir("exact_dedup"))
+        )
+        scored = out["pairs"]
+        for tau in taus:
+            edges = scored.filter(
+                expr=f"score >= {tau}"
+            ).select_columns(["a", "b"]).union(exact_edges)
+            clusters = connected_components(edges, cfg_b, num_parts=8)
+            m = evaluate_clusters(labels, clusters, scored, out["signatures"])
+            rows.append(
+                {
+                    "num_bands": b,
+                    "band_rows": cfg.num_perm // b,
+                    "tau_milli": int(round(tau * 1000)),
+                    "precision_milli": int(round(m["precision"] * 1000)),
+                    "recall_milli": int(round(m["recall"] * 1000)),
+                    "f1_milli": int(round(m["f1"] * 1000)),
+                    "n_eligible": m["n_eligible"],
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def fill_block_keys(
     labels: pd.DataFrame,
     candidates: ray.data.Dataset,

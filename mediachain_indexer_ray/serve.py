@@ -1,0 +1,211 @@
+"""Batch-backed serving surface — the engine analog of the reference's HTTP
+layer (``[ref: mc_web.py /search, /dupe_lookup, /score, record_*_flow —
+unverified]``, SURVEY.md X4). The reference serves from a live Elasticsearch
+index; here the "index" is a completed run's Parquet checkpoints, loaded once
+into the Ray object store at server start and scanned per request.
+
+Endpoints (JSON in/out, stdlib http.server — no web framework in the
+container):
+
+    GET  /status                         run manifests + row counts
+    GET  /search?q=<terms>&k=10          term-match search over conversations
+    GET  /dupe_lookup?id=<conv>&...      duplicate-cluster members per query id
+    POST /score        {"pairs": [[text_a, text_b], ...]}  → pairwise scores
+    POST /feedback     {...}             appended to work_dir/feedback.jsonl
+
+The server owns NO Ray session (callers init Ray first, mirroring the driver
+contract); requests run small Ray Data jobs over the materialized datasets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from mediachain_indexer_ray.config import Config
+from mediachain_indexer_ray.state.checkpoint import MANIFEST, read_checkpoint
+
+
+class IndexerService:
+    """Request-serving state over a completed run: datasets materialized once
+    (the object store is the 'live index'), scorer state built once."""
+
+    def __init__(self, work_dir: str, cfg: Config | None = None):
+        from mediachain_indexer_ray.stages.scoring import PairScorer
+
+        self.work_dir = work_dir
+        self.cfg = cfg or Config(work_dir=work_dir)
+        self.conversations = read_checkpoint(
+            os.path.join(work_dir, "conversations")
+        ).materialize()
+        self.clusters = read_checkpoint(
+            os.path.join(work_dir, "clusters")
+        ).materialize()
+        self.scorer = PairScorer(self.cfg)  # join-path mode: texts per request
+        self._feedback_lock = threading.Lock()
+
+    # -- /status -------------------------------------------------------------
+    def status(self) -> dict:
+        stages = {}
+        for name in sorted(os.listdir(self.work_dir)):
+            mpath = os.path.join(self.work_dir, name, MANIFEST)
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    man = json.load(f)
+                stages[name] = {"rows": man["rows"], "wall_sec": man["wall_sec"]}
+        return {"work_dir": self.work_dir, "stages": stages}
+
+    # -- /search -------------------------------------------------------------
+    def search(self, terms: list[str], k: int = 10) -> list[dict]:
+        """Scan-time term-match search over assembled conversations (the
+        reference's ES match query): relevance = #terms contained in the
+        normalized text, top-k by (relevance desc, conv_id)."""
+        import pyarrow.compute as pc
+
+        terms = [t.lower() for t in terms if t]
+        if not terms:
+            return []
+
+        def _score(b: pa.Table) -> pa.Table:
+            text = b.column("norm_text")
+            score = np.zeros(b.num_rows, np.int64)
+            for term in terms:
+                score += pc.match_substring(text, term).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+            t = pa.table(
+                {"conv_id": b.column("conv_id"),
+                 "n_turns": b.column("n_turns"),
+                 "relevance": pa.array(score)}
+            )
+            return t.filter(pa.array(score > 0))
+
+        hits = (
+            self.conversations.map_batches(
+                _score, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .sort(["relevance", "conv_id"], descending=[True, False])
+            .limit(k)
+            .to_pandas()
+        )
+        return hits.to_dict(orient="records")
+
+    # -- /dupe_lookup --------------------------------------------------------
+    def dupe_lookup(self, ids: list[str], include_self: bool = False) -> list[dict]:
+        from mediachain_indexer_ray.pipelines.lookup import dupe_lookup
+
+        out = dupe_lookup(self.work_dir, ids, include_self=include_self)
+        return out.to_pandas().to_dict(orient="records")
+
+    # -- /score --------------------------------------------------------------
+    def score(self, pairs: list[list[str]]) -> list[dict]:
+        """Pairwise duplicate scoring of ad-hoc text pairs — the reference's
+        ``/score`` endpoint over ``dedupe_batch``. Reuses the actor-pool
+        scorer class IN-PROCESS (same kernels, same cascade)."""
+        from mediachain_indexer_ray.functions.hashing import hash_strings
+        from mediachain_indexer_ray.functions.shingle import shingle_hashes
+        from mediachain_indexer_ray.functions.simhash import simhash_signatures
+
+        if not pairs:
+            return []
+        texts_a = pa.array([p[0].lower() for p in pairs], pa.string())
+        texts_b = pa.array([p[1].lower() for p in pairs], pa.string())
+        sh_a, bnd_a = shingle_hashes(texts_a, self.cfg.shingle_k)
+        sh_b, bnd_b = shingle_hashes(texts_b, self.cfg.shingle_k)
+        sim_a = simhash_signatures(sh_a, bnd_a)
+        sim_b = simhash_signatures(sh_b, bnd_b)
+        # content-derived ids: identical texts share scorer shingle-cache slots
+        ids_a = hash_strings(texts_a, seed=0xF00D)
+        ids_b = hash_strings(texts_b, seed=0xF00D)
+        batch = pa.table(
+            {
+                "a": pa.array([f"q{x:016x}" for x in ids_a], pa.string()),
+                "b": pa.array([f"q{x:016x}" for x in ids_b], pa.string()),
+                "n_bands": pa.array(np.zeros(len(pairs), np.int32)),
+                "simhash_a": pa.array(sim_a),
+                "simhash_b": pa.array(sim_b),
+                "text_a": texts_a,
+                "text_b": texts_b,
+            }
+        )
+        out = self.scorer(batch).to_pandas()
+        return out[
+            ["score_jaccard", "score_cosine", "score_jw", "score_lev",
+             "score", "accepted"]
+        ].to_dict(orient="records")
+
+    # -- /feedback -----------------------------------------------------------
+    def record_feedback(self, payload: dict) -> dict:
+        """Append-only feedback log (the reference's record_*_flow endpoints
+        wrote feedback to the index; here: one JSONL line per call)."""
+        path = os.path.join(self.work_dir, "feedback.jsonl")
+        with self._feedback_lock:
+            with open(path, "a") as f:
+                f.write(json.dumps(payload, sort_keys=True) + "\n")
+            n = sum(1 for _ in open(path))
+        return {"recorded": True, "total": n}
+
+
+def make_handler(svc: IndexerService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _send(self, obj, code=200):
+            body = json.dumps(obj, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            try:
+                url = urllib.parse.urlparse(self.path)
+                qs = urllib.parse.parse_qs(url.query)
+                if url.path == "/status":
+                    return self._send(svc.status())
+                if url.path == "/search":
+                    terms = " ".join(qs.get("q", [""])).split()
+                    k = int(qs.get("k", ["10"])[0])
+                    return self._send({"hits": svc.search(terms, k)})
+                if url.path == "/dupe_lookup":
+                    ids = qs.get("id", [])
+                    inc = qs.get("include_self", ["0"])[0] in ("1", "true")
+                    return self._send({"results": svc.dupe_lookup(ids, inc)})
+                return self._send({"error": "not found"}, 404)
+            except Exception as e:  # pragma: no cover — defensive
+                return self._send({"error": repr(e)}, 500)
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/score":
+                    return self._send({"scores": svc.score(payload.get("pairs", []))})
+                if self.path == "/feedback":
+                    return self._send(svc.record_feedback(payload))
+                return self._send({"error": "not found"}, 404)
+            except Exception as e:  # pragma: no cover — defensive
+                return self._send({"error": repr(e)}, 500)
+
+    return Handler
+
+
+def serve(work_dir: str, cfg: Config | None = None, port: int = 0):
+    """Build the service and return a started ThreadingHTTPServer (caller owns
+    shutdown). port=0 binds an ephemeral port (server.server_address[1])."""
+    svc = IndexerService(work_dir, cfg)
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(svc))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd

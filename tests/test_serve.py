@@ -1,0 +1,90 @@
+"""HTTP serving surface over a completed run (reference mc_web analog):
+real sockets, stdlib client, all four endpoints."""
+
+import json
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(pipeline_outputs):
+    from mediachain_indexer_ray.serve import serve
+
+    out, cfg, corpus = pipeline_outputs
+    out["_checkpoints"].flush()  # serving reads from disk checkpoints
+    httpd = serve(cfg.work_dir, cfg, port=0)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, out, cfg
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_status(server):
+    base, out, cfg = server
+    st = _get(f"{base}/status")
+    assert "clusters" in st["stages"]
+    assert st["stages"]["clusters"]["rows"] == out["clusters"].count()
+
+
+def test_search(server):
+    base, out, cfg = server
+    convs = out["conversations"].to_pandas()
+    # a word that actually occurs in the corpus
+    word = convs["norm_text"].iloc[0].split()[2]
+    res = _get(f"{base}/search?q={word}&k=5")
+    assert 1 <= len(res["hits"]) <= 5
+    assert all(h["relevance"] >= 1 for h in res["hits"])
+    hit_text = convs.set_index("conv_id").loc[res["hits"][0]["conv_id"], "norm_text"]
+    assert word in hit_text
+
+
+def test_dupe_lookup(server):
+    base, out, cfg = server
+    df = out["clusters"].to_pandas()
+    sizes = df.groupby("cluster_id")["conv_id"].transform("size")
+    q = sorted(df[sizes > 1]["conv_id"])[0]
+    res = _get(f"{base}/dupe_lookup?id={q}")
+    assert res["results"], "duplicate query must return members"
+    cid = dict(zip(df["conv_id"], df["cluster_id"]))
+    for row in res["results"]:
+        assert row["query_id"] == q
+        assert cid[row["dup_id"]] == cid[q]
+
+
+def test_score_endpoint(server):
+    base, out, cfg = server
+    t = ("the quick brown fox jumps over the lazy dog and keeps running "
+         "through the quiet forest for a very long time today")
+    dup = t.replace("quiet", "quaint")
+    other = ("completely unrelated text about databases and distributed "
+             "systems with nothing in common whatsoever here at all")
+    res = _post(f"{base}/score", {"pairs": [[t, dup], [t, other]]})
+    s = res["scores"]
+    assert len(s) == 2
+    assert s[0]["accepted"] is True and s[0]["score"] > s[1]["score"]
+    assert s[1]["accepted"] is False
+
+
+def test_feedback(server, tmp_path):
+    base, out, cfg = server
+    r1 = _post(f"{base}/feedback", {"kind": "dupe_vote", "a": "x", "b": "y",
+                                    "is_dup": True})
+    r2 = _post(f"{base}/feedback", {"kind": "dupe_vote", "a": "x", "b": "z",
+                                    "is_dup": False})
+    assert r1["recorded"] and r2["total"] >= 2
+    lines = open(f"{cfg.work_dir}/feedback.jsonl").read().strip().splitlines()
+    assert json.loads(lines[-1])["a"] == "x"
