@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": Q.top_orders_per_customer,
         "order_price_quantiles": Q.order_price_quantiles,
         "orders_without_lineitems": Q.orders_without_lineitems,
+        "customers_with_open_orders": Q.customers_with_open_orders,
         "user_event_profile": Q.user_event_profile,
         "customer_order_revenue": Q.customer_order_revenue,
         "nation_region_join": Q.nation_region_join,
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": Q.TOP_ORDERS_PER_CUSTOMER_SQL,
         "order_price_quantiles": Q.ORDER_PRICE_QUANTILES_SQL,
         "orders_without_lineitems": Q.ORDERS_WITHOUT_LINEITEMS_SQL,
+        "customers_with_open_orders": Q.CUSTOMERS_WITH_OPEN_ORDERS_SQL,
         "user_event_profile": Q.USER_EVENT_PROFILE_SQL,
         "customer_order_revenue": Q.CUSTOMER_ORDER_REVENUE_SQL,
         "nation_region_join": Q.NATION_REGION_JOIN_SQL,

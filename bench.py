@@ -173,6 +173,27 @@ def _warm_cpu(seconds: float = 4.0) -> None:
         x *= np.uint64(0x9E3779B97F4A7C15)
 
 
+def _warm_workers(num_cpus: int, seconds: float = 3.0) -> None:
+    """Spin EVERY Ray worker before timing: workers are fresh processes and
+    this VM's per-core clock ramps over seconds of load (see _warm_cpu) — an
+    unwarmed 16-worker pool pays the ramp inside the first timed stage, which
+    systematically deflates the high-CPU leg of the scaling comparison."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _spin() -> int:
+        x = np.random.default_rng(0).integers(0, 2**63, 4_000_000, dtype=np.uint64)
+        t0 = time.time()
+        while time.time() - t0 < seconds:
+            x = (x >> np.uint64(30)) ^ x
+            x *= np.uint64(0x9E3779B97F4A7C15)
+        return int(x[0])
+
+    ray.get([_spin.remote() for _ in range(num_cpus)])
+
+
 def main_child(corpus: str, work_dir: str) -> None:
     """Scaling-run child: fresh Ray session at $RAY_GRAFT_CPUS, flagship only."""
     import logging
@@ -182,6 +203,7 @@ def main_child(corpus: str, work_dir: str) -> None:
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     _warm_cpu()
+    _warm_workers(NUM_CPUS)
     res = _run_flagship(corpus, work_dir)
     ray.shutdown()
     print(json.dumps(res))

@@ -178,8 +178,13 @@ def dedupe_pipeline(
         from mediachain_indexer_ray.stages.partition import grouped_partitions
 
         n_edges = cp.manifest("edges")["rows"]
+        # 25k rows/part (not 100k): closure frontiers are narrow two-string
+        # tables, and a row-count-derived 8 partitions left half a 16-CPU box
+        # idle through every round (measured: clusters stage scaled 1.7× from
+        # 4→16 CPUs until this; the 2×CPU cap still bounds it above)
         comp = connected_components(
-            edges, cfg, num_parts=sized_parallelism(2 * n_edges, 100_000)
+            edges, cfg, num_parts=sized_parallelism(2 * n_edges, 25_000),
+            n_edges=n_edges,
         )
         ids = sigs.select_columns(["conv_id"])
 

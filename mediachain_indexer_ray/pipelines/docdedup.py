@@ -100,7 +100,15 @@ def minhash_lsh_pairs(
     # consume it (an unmaterialized dataset would recompute signatures twice)
     sigs = _doc_signatures(ds, cfg, id_col, text_col).materialize()
     n_docs = sigs.count()  # metadata on a materialized dataset — free
-    cand = dedup_pairs(emit_pairs(emit_bands(sigs, cfg), cfg), cfg)
+    # SimHash prefilter BEFORE the (a,b) dedup shuffle: the verify stage
+    # applies the identical hamming bound anyway (output unchanged), and
+    # boilerplate corpora co-band ~100× more pairs than are near-dups — this
+    # drops them before they pay the cross-band shuffle
+    from mediachain_indexer_ray.stages.blocking import simhash_prefilter
+
+    cand = dedup_pairs(
+        simhash_prefilter(emit_pairs(emit_bands(sigs, cfg), cfg), cfg), cfg
+    )
     # MinHash-estimate prefilter margin: estimate stderr is
     # sqrt(j(1-j)/K) ≈ 0.044 at K=128, j=0.5 — 0.25 is >5σ, recall-safe
     est_floor = max(0.0, jaccard_threshold - 0.25)

@@ -192,7 +192,8 @@ def incremental_dedupe(
     def _build_clusters():
         n_edges = cp.manifest("edges")["rows"]
         comp = connected_components(
-            edges, cfg, num_parts=sized_parallelism(2 * n_edges, 100_000)
+            edges, cfg, num_parts=sized_parallelism(2 * n_edges, 25_000),
+            n_edges=n_edges,
         )
         ids = both.select_columns(["conv_id"])
 

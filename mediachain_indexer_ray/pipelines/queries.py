@@ -288,15 +288,20 @@ def nation_region_join(sf_dir: str):
     import pyarrow.parquet as pq
 
     region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
-    lookup_ref = ray.put(dict(zip(
-        region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()
-    )))
+    # broadcast the small side as sorted arrays: vectorized searchsorted
+    # lookup inside map_batches (the idiom used by every other broadcast join
+    # here — no per-row python dict probing)
+    rk = region.column("r_regionkey").to_numpy()
+    order = np.argsort(rk)
+    lookup_ref = ray.put((rk[order], region.column("r_name").take(pa.array(order))))
 
     def _join(b: pa.Table) -> pa.Table:
-        lut = ray.get(lookup_ref)
+        keys_s, names_s = ray.get(lookup_ref)
         keys = b.column("n_regionkey").to_numpy()
-        names = pa.array([lut[int(k)] for k in keys], pa.string())
-        return pa.table({"r_name": names})
+        pos = np.clip(np.searchsorted(keys_s, keys), 0, len(keys_s) - 1)
+        hit = keys_s[pos] == keys
+        idx = pa.array(pos, pa.int64(), mask=~hit)
+        return pa.table({"r_name": names_s.take(idx)})
 
     mapped = nation.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
     return mapped.groupby("r_name").count().rename_columns({"count()": "n_nations"})
@@ -884,6 +889,18 @@ def anti_join(
     """Left rows whose `left_on` key (integral) has NO match in `right`.
     Both sides stream through ONE hash shuffle on the key; per bucket a
     vectorized sorted-set difference keeps non-matching left rows."""
+    return _semi_or_anti(left, right, left_on, right_on, num_parts, keep_hits=False)
+
+
+def _semi_or_anti(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    num_parts: int | None,
+    *,
+    keep_hits: bool,
+) -> "ray.data.Dataset":
     from mediachain_indexer_ray.stages.partition import grouped_partitions
 
     _K, _S = "__k", "__side"
@@ -921,19 +938,50 @@ def anti_join(
         lk = k[lmask]
         if len(have):
             pos = np.clip(np.searchsorted(have, lk), 0, len(have) - 1)
-            keep = have[pos] != lk
+            hit = have[pos] == lk
         else:
-            keep = np.ones(len(lk), bool)
+            hit = np.zeros(len(lk), bool)
+        keep = hit if keep_hits else ~hit
         out = t.filter(pa.array(lmask)).filter(pa.array(keep))
         return out.drop_columns([_K, _S])
 
     return grouped_partitions(u, _K, _anti, num_parts)
 
 
+def semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_on: str,
+    right_on: str,
+    num_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Left rows whose key HAS a match in `right` (EXISTS semantics, left rows
+    never duplicated) — same one-shuffle co-partitioned plan as anti_join."""
+    return _semi_or_anti(left, right, left_on, right_on, num_parts, keep_hits=True)
+
+
 def orders_without_lineitems(sf_dir: str):
     cust = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     li = _read(sf_dir, "lineitem", ["l_orderkey"])
     return anti_join(cust, li, left_on="o_orderkey", right_on="l_orderkey")
+
+
+def customers_with_open_orders(sf_dir: str):
+    """Semi join: customers having ≥1 order with o_orderstatus='O' (customer
+    rows never duplicated — EXISTS, not inner join)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
+        expr="o_orderstatus == 'O'"
+    ).select_columns(["o_custkey"])
+    return semi_join(cust, orders, left_on="c_custkey", right_on="o_custkey")
+
+
+CUSTOMERS_WITH_OPEN_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
 
 
 ORDERS_WITHOUT_LINEITEMS_SQL = """

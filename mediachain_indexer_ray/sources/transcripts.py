@@ -19,6 +19,9 @@ from mediachain_indexer_ray import schema as S
 
 
 def normalize_batch(batch: pa.Table) -> pa.Table:
+    from mediachain_indexer_ray.functions.threads import pin_arrow_threads
+
+    pin_arrow_threads()  # worker-side: Ray parallelizes across batches
     batch = S.validate(batch, S.TRANSCRIPTS, where="transcripts")
     tool = batch.column("tool")
     if tool.null_count:

@@ -60,6 +60,76 @@ def _decode_relays(nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray | None]:
     return is_v, roots
 
 
+def _numpy_cc(un: np.ndarray, vn: np.ndarray,
+              extra_u: np.ndarray | None = None,
+              extra_v: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over string edge arrays: returns
+    (sorted unique nodes, root string per node). Min-label propagation with
+    pointer jumping — iterations O(log d) on the contracted graph."""
+    nodes = np.unique(np.concatenate([un, vn]))
+    ui = np.searchsorted(nodes, un)
+    vi = np.searchsorted(nodes, vn)
+    if extra_u is not None and len(extra_u):
+        ui = np.concatenate([ui, extra_u])
+        vi = np.concatenate([vi, extra_v])
+    labels = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = labels
+        labels = labels.copy()
+        np.minimum.at(labels, ui, prev[vi])
+        np.minimum.at(labels, vi, prev[ui])
+        labels = labels[labels]  # pointer jumping
+        if np.array_equal(labels, prev):
+            break
+    return nodes, nodes[labels]
+
+
+DRIVER_CC_MAX_EDGES = 5_000_000  # two-phase fast path bound: the contracted
+# star edges (≈ one row per edge-node) must fit comfortably on the driver
+
+
+def _local_contract(t: pa.Table) -> pa.Table:
+    """Phase-1 map of the two-phase path: local CC of the partition's
+    subgraph, emitting ONE star row (w, local_min) per local node."""
+    if t.num_rows == 0:
+        return pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
+    un = t.column("u").to_pandas().to_numpy()
+    vn = t.column("v").to_pandas().to_numpy()
+    nodes, roots = _numpy_cc(un, vn)
+    return pa.table(
+        {"u": pa.array(nodes, pa.string()), "v": pa.array(roots, pa.string())}
+    )
+
+
+def _two_phase_cc(
+    edges: ray.data.Dataset, cfg: Config, num_parts: int | None
+) -> ray.data.Dataset:
+    """Two-phase components for driver-mergeable graphs (n_edges ≤
+    DRIVER_CC_MAX_EDGES): ONE distributed local-contraction job shrinks each
+    partition's subgraph to a star (O(local nodes) rows), then the union of
+    stars — ≈ one row per edge-node — is merged with the same vectorized
+    kernel on the driver. Replaces 3-4 iterative shuffle rounds plus
+    convergence checks with one job + one tiny merge; the iterative
+    relay-routed Hash-to-Min remains the beyond-driver (100 TB) path."""
+    contracted = grouped_partitions(
+        _edges_to_initial(edges), "u", _local_contract, num_parts
+    )
+    tabs = [t for t in ray.get(contracted.to_arrow_refs()) if t.num_rows > 0]
+    if not tabs:
+        return ray.data.from_arrow(
+            pa.table({"conv_id": pa.array([], pa.string()),
+                      "cluster_id": pa.array([], pa.string())})
+        )
+    t = pa.concat_tables(tabs).combine_chunks()
+    nodes, roots = _numpy_cc(
+        t.column("u").to_pandas().to_numpy(), t.column("v").to_pandas().to_numpy()
+    )
+    return ray.data.from_arrow(
+        pa.table({"conv_id": pa.array(nodes, pa.string()),
+                  "cluster_id": pa.array(roots, pa.string())})
+    )
+
+
 def _hash_to_min_round(t: pa.Table, fanin: int = 256) -> pa.Table:
     """One Hash-to-Min round over a hash partition WITH LOCAL CONTRACTION:
     compute connected components of the partition's local (u,v) subgraph
@@ -179,16 +249,27 @@ def _checksum(ds: ray.data.Dataset) -> tuple[int, int]:
 
 def connected_components(
     edges: ray.data.Dataset, cfg: Config, *, checkpoint=None,
-    num_parts: int | None = None,
+    num_parts: int | None = None, n_edges: int | None = None,
 ) -> ray.data.Dataset:
     """edges (a,b) → clusters (conv_id, cluster_id=component minimum).
 
     Only nodes that appear in edges are emitted; singletons are added by the
     pipeline (cluster_id = own conv_id). `checkpoint(name, ds) -> ds` optionally
-    materializes each round's frontier (resume support).
+    materializes each round's frontier (resume support). When the caller knows
+    `n_edges` and it fits DRIVER_CC_MAX_EDGES, the two-phase fast path runs
+    instead of the iterative rounds (identical output by construction).
     """
+    if (
+        n_edges is not None
+        and n_edges <= DRIVER_CC_MAX_EDGES
+        and checkpoint is None
+    ):
+        return _two_phase_cc(edges, cfg, num_parts)
     cur = _edges_to_initial(edges)
-    cur = checkpoint("closure_r0", cur) if checkpoint is not None else cur.materialize()
+    # r0 is consumed exactly once (by round 1's shuffle) and is never
+    # checksummed — leave it lazy; materializing it was a full extra pass
+    if checkpoint is not None:
+        cur = checkpoint("closure_r0", cur)
     prev_sig: tuple[int, int] | None = None
     prev_count = -1
     P = cfg.num_hash_partitions or num_parts

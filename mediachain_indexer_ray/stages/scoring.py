@@ -40,6 +40,9 @@ class PairScorer:
     CACHE_MAX_ENTRIES = 131_072
 
     def __init__(self, cfg: Config, lut_ref=None):
+        from mediachain_indexer_ray.functions.threads import pin_arrow_threads
+
+        pin_arrow_threads()  # actor-side: the pool provides the parallelism
         self.cfg = cfg
         # Precompute anything reusable across batches. The numpy kernels are
         # parameterized by these; keeping them here mirrors the reference's
@@ -62,13 +65,20 @@ class PairScorer:
         # the actor pool, no intermediate block materialization
         self._lut_keys = self._lut_texts = None
         self._lut_sh_off = self._lut_sh_val = None
+        self._lut_perm = None  # sorted-pos → storage-row (None = identity)
         if lut_ref is not None:
             lut = ray.get(lut_ref)
-            self._lut_keys = np.asarray(lut.column("key").to_numpy())
-            self._lut_texts = lut.column("feature_text")
-            sh = lut.column("scorer_shingles").combine_chunks()
-            self._lut_sh_off = np.asarray(sh.offsets.to_numpy())
-            self._lut_sh_val = np.asarray(sh.values.to_numpy())
+            if isinstance(lut, pa.Table):  # sorted-table layout
+                self._lut_keys = np.asarray(lut.column("key").to_numpy())
+                self._lut_texts = lut.column("feature_text")
+                sh = lut.column("scorer_shingles").combine_chunks()
+                self._lut_sh_off = np.asarray(sh.offsets.to_numpy())
+                self._lut_sh_val = np.asarray(sh.values.to_numpy())
+            else:  # (sorted_keys, perm, off, val, text_chunked): unsorted
+                # storage addressed through the key permutation — built
+                # without any driver-side payload gather
+                (self._lut_keys, self._lut_perm, self._lut_sh_off,
+                 self._lut_sh_val, self._lut_texts) = lut
 
     def _locate(self, b: pa.Table):
         """LUT row positions for both endpoints — NO text gather (texts are
@@ -84,7 +94,10 @@ class PairScorer:
                              np.zeros(b.num_rows, bool)))
                 continue
             pos = np.clip(np.searchsorted(self._lut_keys, h), 0, len(self._lut_keys) - 1)
-            locs.append((pos, self._lut_keys[pos] == h))
+            hit = self._lut_keys[pos] == h
+            if self._lut_perm is not None:
+                pos = self._lut_perm[pos]  # sorted position → storage row
+            locs.append((pos, hit))
         return locs[0], locs[1]
 
     def _texts_at(self, pos: np.ndarray, hit: np.ndarray) -> pa.Array:
@@ -377,42 +390,71 @@ def attach_pair_texts(
 
 
 def build_text_lut_ref_from_reps(reps: ray.data.Dataset, cfg: Config):
-    """Broadcast LUT built from the PLASMA-BACKED reps dataset (one parallel
-    select job + driver-side sort) — avoids waiting on the checkpoint's disk
-    write. Same layout as :func:`build_text_lut_ref`."""
+    """Broadcast LUT built from the PLASMA-BACKED reps dataset with the CPU
+    work (id hashing, text truncation, set flattening) in a PARALLEL
+    map_batches; the driver only argsorts the 8-byte keys and keeps the
+    PERMUTATION — the big text/set payloads are never gathered into sorted
+    order (round 1 concat+combined+took ~1.5 GB on the driver: a fixed ~6 s
+    serial cost at every CPU count, measured on the 12M-turn corpus).
+
+    Layout: (sorted_keys, perm, set_offsets, set_values, text ChunkedArray) —
+    lookups go pos_sorted → perm → row in unsorted storage."""
     import pyarrow.compute as pc
 
     from mediachain_indexer_ray.functions.hashing import hash_strings
 
-    side = reps.select_columns(["conv_id", "feature_text", "scorer_shingles"])
-    tabs = [t for t in ray.get(side.to_arrow_refs()) if t.num_rows > 0]
-    if not tabs:
-        lut = pa.table(
-            {
-                "key": pa.array([], pa.uint64()),
-                "feature_text": pa.array([], pa.string()),
-                "scorer_shingles": pa.array([], pa.list_(pa.uint32())),
-            }
+    text_cap = max(cfg.jw_max_chars, cfg.lev_max_chars)
+
+    def _prep(b: pa.Table) -> pa.Table:
+        from mediachain_indexer_ray.functions.threads import pin_arrow_threads
+
+        pin_arrow_threads()
+        key = hash_strings(b.column("conv_id").combine_chunks(), seed=0x1D)
+        text = pc.utf8_slice_codeunits(
+            b.column("feature_text").combine_chunks(), 0, text_cap
         )
-        return ray.put(lut)
-    t = pa.concat_tables(tabs).combine_chunks()
-    key = hash_strings(t.column("conv_id").combine_chunks(), seed=0x1D)
-    order = pa.array(np.argsort(key))
-    text = pc.utf8_slice_codeunits(
-        t.column("feature_text").combine_chunks(),
-        0,
-        max(cfg.jw_max_chars, cfg.lev_max_chars),
+        if isinstance(text, pa.ChunkedArray):  # pragma: no cover
+            text = text.combine_chunks()
+        sh = b.column("scorer_shingles").combine_chunks()
+        return pa.table(
+            {"key": pa.array(key), "feature_text": text,
+             "scorer_shingles": sh}
+        )
+
+    side = reps.select_columns(["conv_id", "feature_text", "scorer_shingles"])
+    prepped = side.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    tabs = [t for t in ray.get(prepped.to_arrow_refs()) if t.num_rows > 0]
+    if not tabs:
+        return ray.put((
+            np.empty(0, np.uint64), np.empty(0, np.int64),
+            np.zeros(1, np.int64), np.empty(0, np.uint32),
+            pa.chunked_array([pa.array([], pa.string())]),
+        ))
+    keys = np.concatenate(
+        [np.asarray(t.column("key").to_numpy(zero_copy_only=False)) for t in tabs]
     )
-    if isinstance(text, pa.ChunkedArray):  # pragma: no cover
-        text = text.combine_chunks()
-    lut = pa.table(
-        {
-            "key": pa.array(np.sort(key)),
-            "feature_text": text.take(order),
-            "scorer_shingles": t.column("scorer_shingles").combine_chunks().take(order),
-        }
-    )
-    return ray.put(lut)
+    # per-block set storage concatenated ONCE (memcpy of uint32 values only);
+    # row offsets rebuilt from per-row lengths — no per-row gather. flatten()
+    # yields each block's row values contiguously in row order, so the
+    # concatenated values line up with cumsum(lengths).
+    lens_parts, val_parts = [], []
+    for t in tabs:
+        sh = t.column("scorer_shingles").combine_chunks()
+        o = np.asarray(sh.offsets.to_numpy()).astype(np.int64)
+        lens_parts.append(np.diff(o))
+        val_parts.append(np.asarray(sh.flatten().to_numpy()))
+    lens = np.concatenate(lens_parts)
+    off = np.zeros(len(keys) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    val = np.concatenate(val_parts) if val_parts else np.empty(0, np.uint32)
+    perm = np.argsort(keys, kind="stable").astype(np.int64)
+    # ONE flattening copy of the (truncated) texts: per-batch borderline-band
+    # gathers need a contiguous Array — ChunkedArray.take per scoring batch
+    # costs more than this single build-time combine
+    text = pa.chunked_array(
+        [t.column("feature_text").combine_chunks() for t in tabs]
+    ).combine_chunks()
+    return ray.put((keys[perm], perm, off, val, text))
 
 
 def build_text_lut_ref(checkpoint_dir: str, cfg: Config | None = None):
@@ -458,16 +500,22 @@ def score_pairs(
 ) -> ray.data.Dataset:
     from mediachain_indexer_ray.config import default_parallelism
 
-    # fixed-size actor pool ~1 scorer per 2 cores: an autoscaling (1, hi) pool
-    # ramps up too slowly and serializes the stage behind actor startup. Cap
-    # below the cluster CPU count — a pool that pins EVERY core starves the
-    # upstream stages feeding it (deadlock on small clusters).
+    # fixed-size actor pool on ALL BUT ONE core: an autoscaling (1, hi) pool
+    # ramps up too slowly and serializes the stage behind actor startup; the
+    # input is a materialized (plasma-backed) pairs dataset, so there is no
+    # upstream compute to starve — one core is left for the executor/driver
+    # loop (a pool pinning EVERY core can deadlock small clusters). Round 1
+    # sized this at default_parallelism()//4 ≈ half the cores, which left
+    # 8 of 16 CPUs idle through the whole scoring stage.
     try:
         cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover
         cluster_cpus = 8
-    hi = max(cfg.scorer_concurrency, default_parallelism() // 4)
-    hi = max(1, min(hi, cluster_cpus - 2))
+    # ~3/4 of the cores: all-but-one measured SLOWER on this box (15 cold
+    # actor processes each ramp up and page-fault the broadcast LUT at once);
+    # 3/4 keeps headroom for the executor loop and async checkpoint writes
+    hi = max(cfg.scorer_concurrency, (3 * cluster_cpus) // 4)
+    hi = max(1, min(hi, cluster_cpus - 1))
     return pairs_with_text.map_batches(
         scorer_cls or PairScorer,
         fn_constructor_args=(cfg, lut_ref),

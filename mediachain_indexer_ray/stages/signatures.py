@@ -23,6 +23,9 @@ from mediachain_indexer_ray.functions.simhash import simhash_signatures
 
 
 def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
+    from mediachain_indexer_ray.functions.threads import pin_arrow_threads
+
+    pin_arrow_threads()  # worker-side: Ray parallelizes across batches
     conv_id = batch.column("conv_id")
     doc_text = batch.column("doc_text")
     norm = as_array(batch.column("norm_text"))

@@ -131,6 +131,41 @@ def test_giant_star_bounded_fanin_rounds():
     assert set(members.values()) == {hub}
 
 
+@pytest.mark.parametrize("seed,n,m", [(3, 50, 70), (4, 80, 40)])
+def test_two_phase_fast_path_matches_iterative(seed, n, m):
+    """The driver-merge two-phase path (engaged when n_edges is known small)
+    must produce exactly the iterative Hash-to-Min result."""
+    from mediachain_indexer_ray.stages.closure import connected_components as cc
+
+    rng = np.random.default_rng(seed)
+    nodes = [f"t{i:03d}" for i in range(n)]
+    edges = [
+        (nodes[int(rng.integers(0, n))], nodes[int(rng.integers(0, n))])
+        for _ in range(m)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    t = pa.table({"a": pa.array([e[0] for e in edges], pa.string()),
+                  "b": pa.array([e[1] for e in edges], pa.string())})
+    cfg = Config(num_hash_partitions=4)
+    fast = cc(ray.data.from_arrow(t), cfg, n_edges=len(edges)).to_pandas()
+    slow = cc(ray.data.from_arrow(t), cfg).to_pandas()
+    f = dict(zip(fast["conv_id"], fast["cluster_id"]))
+    s = dict(zip(slow["conv_id"], slow["cluster_id"]))
+    assert f == s == _oracle(edges)
+
+
+def test_two_phase_giant_star():
+    from mediachain_indexer_ray.stages.closure import connected_components as cc
+
+    edges = [("hub", f"x{i:05d}") for i in range(20_000)]
+    t = pa.table({"a": pa.array([e[0] for e in edges], pa.string()),
+                  "b": pa.array([e[1] for e in edges], pa.string())})
+    out = cc(ray.data.from_arrow(t), Config(num_hash_partitions=8),
+             n_edges=len(edges)).to_pandas()
+    assert len(out) == 20_001
+    assert set(out["cluster_id"]) == {"hub"}
+
+
 def test_long_chain_with_relays_converges():
     nodes = [f"q{i:05d}" for i in range(2000)]
     edges = list(zip(nodes[:-1], nodes[1:]))
