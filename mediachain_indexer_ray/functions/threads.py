@@ -28,3 +28,34 @@ def pin_arrow_threads(n: int = 1) -> None:
         pa.set_cpu_count(n)
         pa.set_io_thread_count(max(2, n))
         _PINNED = True
+
+
+def threaded_concat(arrs: list, nthreads: int = 8):
+    """np.concatenate with the per-array copies spread over a thread pool.
+
+    This VM's single-core memcpy from plasma-backed buffers runs at
+    ~170 MB/s (measured; warm pages are no faster), so a driver-side
+    ``np.concatenate`` of a few hundred MB costs seconds — a FIXED serial
+    cost that the high-CPU leg of the scaling comparison pays 4× over in
+    efficiency. numpy's copy loops release the GIL, so an 8-thread ranged
+    copy is ~3× faster (0.89 s vs 2.45 s for 443 MB, measured)."""
+    import numpy as np
+
+    arrs = [a for a in arrs if len(a)]
+    if not arrs:
+        return np.empty(0)
+    if len(arrs) == 1:
+        return np.asarray(arrs[0])
+    from concurrent.futures import ThreadPoolExecutor
+
+    total = sum(len(a) for a in arrs)
+    out = np.empty(total, arrs[0].dtype)
+    offs = [0]
+    for a in arrs:
+        offs.append(offs[-1] + len(a))
+    with ThreadPoolExecutor(min(nthreads, len(arrs))) as ex:
+        list(ex.map(
+            lambda i: np.copyto(out[offs[i]:offs[i + 1]], arrs[i]),
+            range(len(arrs)),
+        ))
+    return out

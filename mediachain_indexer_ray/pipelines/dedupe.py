@@ -182,25 +182,30 @@ def dedupe_pipeline(
         # tables, and a row-count-derived 8 partitions left half a 16-CPU box
         # idle through every round (measured: clusters stage scaled 1.7× from
         # 4→16 CPUs until this; the 2×CPU cap still bounds it above)
-        comp = connected_components(
+        comp, node_hashes = connected_components(
             edges, cfg, num_parts=sized_parallelism(2 * n_edges, 25_000),
-            n_edges=n_edges,
+            n_edges=n_edges, want_node_hashes=True,
         )
         ids = sigs.select_columns(["conv_id"])
 
         if n_edges <= 2_000_000:
             # small edge set: broadcast the edge-node hash set and ANTI-FILTER
             # the id stream for singletons — no shuffle at all (comp already
-            # carries exactly one row per edge-node)
-            comp = comp.materialize()
-            hs = comp.map_batches(
-                lambda b: pa.table(
-                    {"h": pa.array(hash_strings(b.column("conv_id").combine_chunks()))}
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).to_pandas()["h"].to_numpy()
-            hs_ref = ray.put(np.sort(hs))
+            # carries exactly one row per edge-node). The two-phase closure
+            # hands the sorted hash set over for free; only the iterative
+            # path needs the extra gather job.
+            if node_hashes is not None:
+                hs_ref = ray.put(node_hashes)
+            else:
+                comp = comp.materialize()
+                hs = comp.map_batches(
+                    lambda b: pa.table(
+                        {"h": pa.array(hash_strings(b.column("conv_id").combine_chunks()))}
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).to_pandas()["h"].to_numpy()
+                hs_ref = ray.put(np.sort(hs))
 
             def _singletons(b: pa.Table) -> pa.Table:
                 edge_nodes = ray.get(hs_ref)

@@ -60,19 +60,11 @@ def _decode_relays(nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray | None]:
     return is_v, roots
 
 
-def _numpy_cc(un: np.ndarray, vn: np.ndarray,
-              extra_u: np.ndarray | None = None,
-              extra_v: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized connected components over string edge arrays: returns
-    (sorted unique nodes, root string per node). Min-label propagation with
-    pointer jumping — iterations O(log d) on the contracted graph."""
-    nodes = np.unique(np.concatenate([un, vn]))
-    ui = np.searchsorted(nodes, un)
-    vi = np.searchsorted(nodes, vn)
-    if extra_u is not None and len(extra_u):
-        ui = np.concatenate([ui, extra_u])
-        vi = np.concatenate([vi, extra_v])
-    labels = np.arange(len(nodes), dtype=np.int64)
+def _cc_labels(ui: np.ndarray, vi: np.ndarray, n: int) -> np.ndarray:
+    """Min-label propagation with pointer jumping over integer edge endpoint
+    arrays — iterations O(log d) on the contracted graph. Returns the label
+    (component-minimum node index) per node."""
+    labels = np.arange(n, dtype=np.int64)
     while True:
         prev = labels
         labels = labels.copy()
@@ -81,7 +73,23 @@ def _numpy_cc(un: np.ndarray, vn: np.ndarray,
         labels = labels[labels]  # pointer jumping
         if np.array_equal(labels, prev):
             break
-    return nodes, nodes[labels]
+    return labels
+
+
+def _arrow_cc(u: pa.Array, v: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized connected components over string edge arrays, with the node
+    universe built by ARROW kernels (hash unique + sort + index_in — C++,
+    multithreaded where the pool allows) instead of ``np.unique`` over python
+    object arrays (which cost ~3 s per million strings on the driver merge,
+    measured). Returns (sorted unique node Array, label index per node);
+    sorted order makes min index == min string."""
+    uniq = pc.unique(pa.chunked_array([u, v]))
+    nodes = uniq.take(pc.array_sort_indices(uniq))
+    ui = np.asarray(pc.index_in(u, value_set=nodes).to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    vi = np.asarray(pc.index_in(v, value_set=nodes).to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    return nodes, _cc_labels(ui, vi, len(nodes))
 
 
 DRIVER_CC_MAX_EDGES = 5_000_000  # two-phase fast path bound: the contracted
@@ -93,24 +101,27 @@ def _local_contract(t: pa.Table) -> pa.Table:
     subgraph, emitting ONE star row (w, local_min) per local node."""
     if t.num_rows == 0:
         return pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
-    un = t.column("u").to_pandas().to_numpy()
-    vn = t.column("v").to_pandas().to_numpy()
-    nodes, roots = _numpy_cc(un, vn)
-    return pa.table(
-        {"u": pa.array(nodes, pa.string()), "v": pa.array(roots, pa.string())}
+    nodes, labels = _arrow_cc(
+        t.column("u").combine_chunks(), t.column("v").combine_chunks()
     )
+    return pa.table({"u": nodes, "v": nodes.take(pa.array(labels))})
 
 
 def _two_phase_cc(
     edges: ray.data.Dataset, cfg: Config, num_parts: int | None
-) -> ray.data.Dataset:
+) -> tuple[ray.data.Dataset, np.ndarray]:
     """Two-phase components for driver-mergeable graphs (n_edges ≤
     DRIVER_CC_MAX_EDGES): ONE distributed local-contraction job shrinks each
     partition's subgraph to a star (O(local nodes) rows), then the union of
     stars — ≈ one row per edge-node — is merged with the same vectorized
     kernel on the driver. Replaces 3-4 iterative shuffle rounds plus
     convergence checks with one job + one tiny merge; the iterative
-    relay-routed Hash-to-Min remains the beyond-driver (100 TB) path."""
+    relay-routed Hash-to-Min remains the beyond-driver (100 TB) path.
+
+    Returns (clusters dataset, SORTED uint64 hash array of the edge nodes) —
+    the hashes fall out of the driver merge for free and let the caller skip
+    a whole extra Ray job when it needs the edge-node set (singleton
+    anti-filtering in the dedupe pipeline)."""
     contracted = grouped_partitions(
         _edges_to_initial(edges), "u", _local_contract, num_parts
     )
@@ -119,15 +130,15 @@ def _two_phase_cc(
         return ray.data.from_arrow(
             pa.table({"conv_id": pa.array([], pa.string()),
                       "cluster_id": pa.array([], pa.string())})
-        )
+        ), np.empty(0, np.uint64)
     t = pa.concat_tables(tabs).combine_chunks()
-    nodes, roots = _numpy_cc(
-        t.column("u").to_pandas().to_numpy(), t.column("v").to_pandas().to_numpy()
+    nodes, labels = _arrow_cc(
+        t.column("u").combine_chunks(), t.column("v").combine_chunks()
     )
+    node_hashes = np.sort(hash_strings(nodes))
     return ray.data.from_arrow(
-        pa.table({"conv_id": pa.array(nodes, pa.string()),
-                  "cluster_id": pa.array(roots, pa.string())})
-    )
+        pa.table({"conv_id": nodes, "cluster_id": nodes.take(pa.array(labels))})
+    ), node_hashes
 
 
 def _hash_to_min_round(t: pa.Table, fanin: int = 256) -> pa.Table:
@@ -250,7 +261,8 @@ def _checksum(ds: ray.data.Dataset) -> tuple[int, int]:
 def connected_components(
     edges: ray.data.Dataset, cfg: Config, *, checkpoint=None,
     num_parts: int | None = None, n_edges: int | None = None,
-) -> ray.data.Dataset:
+    want_node_hashes: bool = False,
+):
     """edges (a,b) → clusters (conv_id, cluster_id=component minimum).
 
     Only nodes that appear in edges are emitted; singletons are added by the
@@ -258,13 +270,25 @@ def connected_components(
     materializes each round's frontier (resume support). When the caller knows
     `n_edges` and it fits DRIVER_CC_MAX_EDGES, the two-phase fast path runs
     instead of the iterative rounds (identical output by construction).
+
+    With ``want_node_hashes=True`` returns ``(ds, hashes)`` where hashes is a
+    sorted uint64 array of the edge-node id-hashes when the two-phase path
+    computed it for free, else None (caller falls back to its own job).
     """
     if (
         n_edges is not None
         and n_edges <= DRIVER_CC_MAX_EDGES
         and checkpoint is None
     ):
-        return _two_phase_cc(edges, cfg, num_parts)
+        ds, node_hashes = _two_phase_cc(edges, cfg, num_parts)
+        return (ds, node_hashes) if want_node_hashes else ds
+    if want_node_hashes:
+        return (
+            connected_components(
+                edges, cfg, checkpoint=checkpoint, num_parts=num_parts,
+            ),
+            None,
+        )
     cur = _edges_to_initial(edges)
     # r0 is consumed exactly once (by round 1's shuffle) and is never
     # checksummed — leave it lazy; materializing it was a full extra pass

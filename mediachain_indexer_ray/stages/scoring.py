@@ -430,13 +430,17 @@ def build_text_lut_ref_from_reps(reps: ray.data.Dataset, cfg: Config):
             np.zeros(1, np.int64), np.empty(0, np.uint32),
             pa.chunked_array([pa.array([], pa.string())]),
         ))
+    from mediachain_indexer_ray.functions.threads import threaded_concat
+
     keys = np.concatenate(
         [np.asarray(t.column("key").to_numpy(zero_copy_only=False)) for t in tabs]
     )
-    # per-block set storage concatenated ONCE (memcpy of uint32 values only);
-    # row offsets rebuilt from per-row lengths — no per-row gather. flatten()
-    # yields each block's row values contiguously in row order, so the
-    # concatenated values line up with cumsum(lengths).
+    # per-block set storage concatenated ONCE (memcpy of uint32 values only,
+    # THREADED — this VM's single-core memcpy is ~170 MB/s and the values run
+    # to hundreds of MB, see functions.threads.threaded_concat); row offsets
+    # rebuilt from per-row lengths — no per-row gather. flatten() yields each
+    # block's row values contiguously in row order, so the concatenated
+    # values line up with cumsum(lengths).
     lens_parts, val_parts = [], []
     for t in tabs:
         sh = t.column("scorer_shingles").combine_chunks()
@@ -446,7 +450,11 @@ def build_text_lut_ref_from_reps(reps: ray.data.Dataset, cfg: Config):
     lens = np.concatenate(lens_parts)
     off = np.zeros(len(keys) + 1, np.int64)
     np.cumsum(lens, out=off[1:])
-    val = np.concatenate(val_parts) if val_parts else np.empty(0, np.uint32)
+    val = (
+        threaded_concat(val_parts)
+        if any(len(v) for v in val_parts)
+        else np.empty(0, np.uint32)
+    )
     perm = np.argsort(keys, kind="stable").astype(np.int64)
     # ONE flattening copy of the (truncated) texts: per-batch borderline-band
     # gathers need a contiguous Array — ChunkedArray.take per scoring batch
