@@ -199,6 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events_orders": Q.range_join_events_orders,
         "text_search": Q.text_search,
         "sample_events": Q.sample_events,
+        "user_event_lag": Q.user_event_lag,
+        "order_status_median": Q.order_status_median,
+        "top_event_type_per_user": Q.top_event_type_per_user,
+        "monthly_distinct_users": Q.monthly_distinct_users,
         # text analysis (SQL oracles)
         "token_stats": Q.token_stats,
         "text_quality": Q.text_quality,
@@ -249,6 +253,10 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events_orders": Q.RANGE_JOIN_EVENTS_ORDERS_SQL,
         "text_search": Q.TEXT_SEARCH_SQL,
         "sample_events": Q.SAMPLE_EVENTS_SQL,
+        "user_event_lag": Q.USER_EVENT_LAG_SQL,
+        "order_status_median": Q.ORDER_STATUS_MEDIAN_SQL,
+        "top_event_type_per_user": Q.TOP_EVENT_TYPE_PER_USER_SQL,
+        "monthly_distinct_users": Q.MONTHLY_DISTINCT_USERS_SQL,
         "token_stats": Q.TOKEN_STATS_SQL,
         "text_quality": Q.TEXT_QUALITY_SQL,
         "top_tokens": Q.TOP_TOKENS_SQL,

@@ -1038,3 +1038,208 @@ SELECT user_id,
        CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# window lag (brief: windowed/ordered analytics): per-user gap to previous
+# event — one hash shuffle on user_id, vectorized sorted diff in-bucket
+# ---------------------------------------------------------------------------
+
+def user_event_lag(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")],  # deterministic tiebreak
+        )
+        t = t.take(idx)
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy()  # µs since epoch
+        gap = np.full(len(uid), -1, np.int64)
+        if len(uid) > 1:
+            same = uid[1:] == uid[:-1]
+            gap[1:] = np.where(same, ts[1:] - ts[:-1], -1)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "gap_us": pa.array(gap),
+            }
+        )
+
+    return grouped_partitions(ds, "user_id", _fn, _PARTS)
+
+
+USER_EVENT_LAG_SQL = """
+SELECT event_id, user_id,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped exact quantile: median order price per status — per-batch
+# (status, cents) histogram partials, ONE small shuffle over distinct values,
+# rank selection in-bucket (O(|distinct|) moved, never O(rows))
+# ---------------------------------------------------------------------------
+
+def order_status_median(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        t = pa.table(
+            {"o_orderstatus": b.column("o_orderstatus"), "cents": pa.array(cents),
+             "n": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+        gb = pa.TableGroupBy(t, ["o_orderstatus", "cents"], use_threads=False)
+        return gb.aggregate([("n", "sum")]).rename_columns(
+            ["o_orderstatus", "cents", "n"]
+        )
+
+    part = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _median(t: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(t, ["o_orderstatus", "cents"], use_threads=False)
+        t = gb.aggregate([("n", "sum")]).rename_columns(
+            ["o_orderstatus", "cents", "n"]
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("o_orderstatus", "ascending"), ("cents", "ascending")]
+        )
+        t = t.take(idx)
+        st = (
+            t.column("o_orderstatus").combine_chunks().dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        v = t.column("cents").to_numpy()
+        c = t.column("n").to_numpy()
+        out_s, out_v = [], []
+        first = np.ones(len(st), bool)
+        if len(st) > 1:
+            np.not_equal(st[1:], st[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(st))
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(c[s:e])
+            n = int(cum[-1])
+            rank = max(1, -(-500 * n // 1000))  # quantile_disc: ceil(q*n)
+            out_s.append(s)
+            out_v.append(int(v[s:e][np.searchsorted(cum, rank)]))
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus").take(
+                    pa.array(out_s, pa.int64())
+                ),
+                "median_cents": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return grouped_partitions(part, "o_orderstatus", _median, 4)
+
+
+ORDER_STATUS_MEDIAN_SQL = """
+WITH c AS (SELECT o_orderstatus,
+                  CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderstatus, quantile_disc(cents, 0.50) AS median_cents
+FROM c GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# mode per group (grouped top-1 by frequency, deterministic tie-break):
+# per-batch (user, type) count partials -> one shuffle on user -> in-bucket
+# sort (count desc, type asc) + first-of-group
+# ---------------------------------------------------------------------------
+
+def top_event_type_per_user(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"user_id": b.column("user_id"), "event_type": b.column("event_type"),
+             "n": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+        gb = pa.TableGroupBy(t, ["user_id", "event_type"], use_threads=False)
+        return gb.aggregate([("n", "sum")]).rename_columns(
+            ["user_id", "event_type", "n"]
+        )
+
+    part = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _mode(t: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(t, ["user_id", "event_type"], use_threads=False)
+        t = gb.aggregate([("n", "sum")]).rename_columns(
+            ["user_id", "event_type", "n"]
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("user_id", "ascending"), ("n", "descending"),
+                       ("event_type", "ascending")],
+        )
+        t = t.take(idx)
+        uid = t.column("user_id").to_numpy()
+        first = np.ones(len(uid), bool)
+        if len(uid) > 1:
+            np.not_equal(uid[1:], uid[:-1], out=first[1:])
+        return t.filter(pa.array(first))
+
+    return grouped_partitions(part, "user_id", _mode, _PARTS)
+
+
+TOP_EVENT_TYPE_PER_USER_SQL = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact distinct count per group: distinct (month, user) pairs deduped
+# per-batch (combiner), one shuffle on month, exact unique count in-bucket —
+# moved data is O(distinct pairs), the scalable exact-distinct shape
+# ---------------------------------------------------------------------------
+
+def monthly_distinct_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        ym = (
+            pc.year(ts).to_numpy(zero_copy_only=False).astype(np.int64) * 100
+            + pc.month(ts).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        uid = b.column("user_id").to_numpy()
+        packed = np.unique(ym * np.int64(1 << 40) + uid)
+        return pa.table(
+            {"ym": pa.array(packed >> np.int64(40)),
+             "user_id": pa.array(packed & np.int64((1 << 40) - 1))}
+        )
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _count(t: pa.Table) -> pa.Table:
+        ym = t.column("ym").to_numpy()
+        uid = t.column("user_id").to_numpy()
+        packed = np.unique(ym * np.int64(1 << 40) + uid)
+        yms, counts = np.unique(packed >> np.int64(40), return_counts=True)
+        return pa.table(
+            {"ym": pa.array(yms), "n_users": pa.array(counts.astype(np.int64))}
+        )
+
+    return grouped_partitions(pairs, "ym", _count, 4)
+
+
+MONTHLY_DISTINCT_USERS_SQL = """
+SELECT CAST(year(ts)*100 + month(ts) AS BIGINT) AS ym,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""

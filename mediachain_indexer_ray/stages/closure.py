@@ -43,21 +43,8 @@ def _edges_to_initial(edges: ray.data.Dataset) -> ray.data.Dataset:
 RELAY_MARKER = "\x01"  # reserved char: real conv ids must not contain it
 
 
-def _decode_relays(nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray | None]:
-    """For a sorted unique node array: (is_virtual mask, decoded root per
-    virtual node). Virtual relay ids are ``root + RELAY_MARKER + salt``."""
-    arr = pa.array(nodes, pa.string())
-    is_v = np.asarray(
-        pc.match_substring(arr, RELAY_MARKER).to_numpy(zero_copy_only=False)
-    )
-    if not is_v.any():
-        return is_v, None
-    sub = arr.filter(pa.array(is_v))
-    roots = (
-        pc.list_element(pc.split_pattern(sub, RELAY_MARKER, max_splits=1), 0)
-        .to_pandas().to_numpy()
-    )
-    return is_v, roots
+def _take(arr: pa.Array, idx: np.ndarray) -> pa.Array:
+    return arr.take(pa.array(idx, pa.int64()))
 
 
 def _cc_labels(ui: np.ndarray, vi: np.ndarray, n: int) -> np.ndarray:
@@ -159,80 +146,81 @@ def _hash_to_min_round(t: pa.Table, fanin: int = 256) -> pa.Table:
       (relay → root) edge, and the final labeling drops virtual rows.
 
     Equivalent to Hash-to-Min with in-partition path compression — global
-    rounds stay ~2-4 for the clique/star graphs dedupe produces."""
+    rounds stay ~2-4 for the clique/star graphs dedupe produces. All string
+    work (unique, index, relay-id construction) runs on Arrow kernels; only
+    integer label arrays touch numpy."""
     n = t.num_rows
     if n == 0:
         return pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
-    un = t.column("u").to_pandas().to_numpy()
-    vn = t.column("v").to_pandas().to_numpy()
+    u = t.column("u").combine_chunks()
+    v = t.column("v").combine_chunks()
     # node universe of this partition, in sorted order (so index order =
     # string order and min-index == min-string)
-    nodes0 = np.unique(np.concatenate([un, vn]))
-    is_v0, vroots = _decode_relays(nodes0)
-    if vroots is not None:
+    uniq0 = pc.unique(pa.chunked_array([u, v]))
+    is_v0 = pc.match_substring(uniq0, RELAY_MARKER)
+    has_relays = bool(pc.any(is_v0).as_py() or False)
+    if has_relays:
         # implicit relay→root edges (the decoded root may be absent from this
-        # partition's rows — fold it into the node universe first)
-        nodes = np.unique(np.concatenate([nodes0, vroots]))
-        eu = np.searchsorted(nodes, nodes0[is_v0])
-        ev = np.searchsorted(nodes, vroots)
-        ui = np.searchsorted(nodes, un)
-        vi = np.searchsorted(nodes, vn)
-        ui = np.concatenate([ui, eu])
-        vi = np.concatenate([vi, ev])
+        # partition's rows — fold it into the node universe first). Virtual
+        # relay ids are ``root + RELAY_MARKER + salt``.
+        sub = uniq0.filter(is_v0)
+        vroots = pc.list_element(
+            pc.split_pattern(sub, RELAY_MARKER, max_splits=1), 0
+        )
+        allv = pc.unique(pa.chunked_array([uniq0, vroots]))
+        nodes = allv.take(pc.array_sort_indices(allv))
+        as_idx = lambda a: np.asarray(  # noqa: E731
+            pc.index_in(a, value_set=nodes).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        ui = np.concatenate([as_idx(u), as_idx(sub)])
+        vi = np.concatenate([as_idx(v), as_idx(vroots)])
     else:
-        nodes = nodes0
-        ui = np.searchsorted(nodes, un)
-        vi = np.searchsorted(nodes, vn)
-    labels = np.arange(len(nodes), dtype=np.int64)
-    while True:
-        prev = labels
-        labels = labels.copy()
-        np.minimum.at(labels, ui, prev[vi])
-        np.minimum.at(labels, vi, prev[ui])
-        labels = labels[labels]  # pointer jumping
-        if np.array_equal(labels, prev):
-            break
-    roots = nodes[labels]
-    is_virtual, _ = _decode_relays(nodes)
+        nodes = uniq0.take(pc.array_sort_indices(uniq0))
+        as_idx = lambda a: np.asarray(  # noqa: E731
+            pc.index_in(a, value_set=nodes).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        ui, vi = as_idx(u), as_idx(v)
+    labels = _cc_labels(ui, vi, len(nodes))
+    is_virtual = np.asarray(
+        pc.match_substring(nodes, RELAY_MARKER).to_numpy(zero_copy_only=False)
+    )
     non_root = labels != np.arange(len(nodes))
 
     # component sizes (by root label index) decide direct vs relay up-routing
     comp_size = np.bincount(labels, minlength=len(nodes))
     big = comp_size[labels] > fanin
 
-    out_u = [nodes]   # down rows: (w, m) ∀ w (includes (m, m) self rows)
-    out_v = [roots]
-    direct = non_root & (~big | is_virtual)
-    if direct.any():
+    out_u = [nodes]                       # down rows: (w, m) ∀ w
+    out_v = [_take(nodes, labels)]        # (includes (m, m) self rows)
+    direct = np.flatnonzero(non_root & (~big | is_virtual))
+    if len(direct):
         # small components, and virtual members of big ones, report straight
         # to the minimum — both are bounded (≤ fanin, ≤ distinct relays)
-        out_u.append(roots[direct])
-        out_v.append(nodes[direct])
-    relayed = non_root & big & ~is_virtual
-    if relayed.any():
+        out_u.append(_take(nodes, labels[direct]))
+        out_v.append(_take(nodes, direct))
+    relayed = np.flatnonzero(non_root & big & ~is_virtual)
+    if len(relayed):
         from mediachain_indexer_ray.functions.hashing import hash_strings
 
-        salts = hash_strings(
-            pa.array(nodes[relayed], pa.string()), seed=0xC10
-        ) % np.uint64(fanin)
-        relay_ids = (
-            pc.binary_join_element_wise(
-                pa.array(roots[relayed], pa.string()),
-                pa.array(salts.astype("U"), pa.string()),
-                RELAY_MARKER,
-            ).to_pandas().to_numpy()
+        salts = hash_strings(_take(nodes, relayed), seed=0xC10) % np.uint64(fanin)
+        relay_ids = pc.binary_join_element_wise(
+            _take(nodes, labels[relayed]),
+            pa.array(salts.astype("U"), pa.string()),
+            RELAY_MARKER,
         )
         out_u.append(relay_ids)            # (relay, w): relay learns member
-        out_v.append(nodes[relayed])
+        out_v.append(_take(nodes, relayed))
         # distinct (m, relay) rows: pack (root label idx, salt) to dedup
         packed = labels[relayed].astype(np.uint64) * np.uint64(fanin) + salts
         uniq_idx = np.unique(packed, return_index=True)[1]
-        out_u.append(roots[relayed][uniq_idx])
-        out_v.append(relay_ids[uniq_idx])
+        out_u.append(_take(nodes, labels[relayed][uniq_idx]))
+        out_v.append(relay_ids.take(pa.array(uniq_idx, pa.int64())))
     return pa.table(
         {
-            "u": pa.array(np.concatenate(out_u), pa.string()),
-            "v": pa.array(np.concatenate(out_v), pa.string()),
+            "u": pa.concat_arrays([a.cast(pa.string()) for a in out_u]),
+            "v": pa.concat_arrays([a.cast(pa.string()) for a in out_v]),
         }
     )
 
@@ -328,21 +316,20 @@ def connected_components(
         t = t.filter(keep)
         idx = pc.sort_indices(t, sort_keys=[("u", "ascending"), ("v", "ascending")])
         t = t.take(idx)
-        un = t.column("u").to_pandas().to_numpy()
-        vn = t.column("v").to_pandas().to_numpy()
-        if len(un) == 0:
+        if t.num_rows == 0:
             return pa.table(
                 {"conv_id": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())}
             )
-        first = np.ones(len(un), bool)
-        first[1:] = un[1:] != un[:-1]
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        # group starts via dictionary codes (sorted input → equal neighbors
+        # share a code): integer compares, no python string objects
+        codes = np.asarray(u.dictionary_encode().indices.to_numpy(zero_copy_only=False))
+        first = np.ones(len(codes), bool)
+        np.not_equal(codes[1:], codes[:-1], out=first[1:])
         gstart = np.flatnonzero(first)
-        m = np.minimum(vn[gstart], un[gstart])
-        return pa.table(
-            {
-                "conv_id": pa.array(un[gstart], pa.string()),
-                "cluster_id": pa.array(m, pa.string()),
-            }
-        )
+        ug, vg = _take(u, gstart), _take(v, gstart)
+        m = pc.if_else(pc.less(vg, ug), vg, ug)  # elementwise string min
+        return pa.table({"conv_id": ug, "cluster_id": m})
 
     return grouped_partitions(cur, "u", _labels, P)

@@ -150,6 +150,13 @@ class CheckpointManager:
         man["manifest_hash"] = hashlib.sha256(
             json.dumps(man, sort_keys=True).encode()
         ).hexdigest()[:16]
+        try:
+            # per-operator execution stats (task wall-time histograms) for
+            # post-hoc scaling profiles; added AFTER the manifest hash so the
+            # volatile timing strings never leak into lineage fingerprints
+            man["exec_stats_tail"] = ds.stats()[-4000:]
+        except Exception:  # pragma: no cover — stats are best-effort
+            pass
         tmp = out_dir + f".tmp-{uuid.uuid4().hex[:8]}"
 
         def _write() -> None:
