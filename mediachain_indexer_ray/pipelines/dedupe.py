@@ -140,7 +140,8 @@ def dedupe_pipeline(
                 # parallel select job) and plasma-shared
                 lut_ref = build_text_lut_ref_from_reps(reps, cfg)
                 return score_pairs(
-                    pairs, cfg, scorer_cls=model.scorer_cls, lut_ref=lut_ref
+                    pairs, cfg, scorer_cls=model.scorer_cls, lut_ref=lut_ref,
+                    pairs_rows=cp.manifest("pairs")["rows"],
                 )
             # large-side path: shuffle join attaches texts, then score
             P_join = sized_parallelism(cp.manifest("pairs")["rows"], 100_000)
@@ -151,6 +152,7 @@ def dedupe_pipeline(
                 ),
                 cfg,
                 scorer_cls=model.scorer_cls,
+                pairs_rows=cp.manifest("pairs")["rows"],
             )
 
         scored = cp.run("pairs_scored", fp_pairs, _build_scored)

@@ -173,7 +173,10 @@ def incremental_dedupe(
                 "scorer_shingles": t.column("scorer_shingles").combine_chunks().take(order),
             }
         )
-        return score_pairs(pairs, cfg, lut_ref=ray.put(lut))
+        return score_pairs(
+            pairs, cfg, lut_ref=ray.put(lut),
+            pairs_rows=cp.manifest("delta_pairs")["rows"],
+        )
 
     fp_scored = cp.input_fingerprint("delta_pairs", base_exact)
     scored = cp.run("delta_pairs_scored", fp_scored, _build_scored)

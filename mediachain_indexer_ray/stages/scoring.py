@@ -505,6 +505,7 @@ def score_pairs(
     cfg: Config,
     scorer_cls: type | None = None,
     lut_ref=None,
+    pairs_rows: int | None = None,
 ) -> ray.data.Dataset:
     from mediachain_indexer_ray.config import default_parallelism
 
@@ -524,6 +525,16 @@ def score_pairs(
     # 3/4 keeps headroom for the executor loop and async checkpoint writes
     hi = max(cfg.scorer_concurrency, (3 * cluster_cpus) // 4)
     hi = max(1, min(hi, cluster_cpus - 1))
+    if pairs_rows is not None:
+        # data-aware pool: each actor spawn is a fresh process (~0.2-0.4 s
+        # plus its LUT page-in), so a small candidate set must not pay for a
+        # full-width pool — ≥30k pairs (≈1 s of kernel work) per actor, floor
+        # scorer_concurrency. At scale the row term saturates hi, so sizing
+        # still follows the cluster.
+        hi = max(
+            min(cfg.scorer_concurrency, hi),
+            min(hi, -(-pairs_rows // 30_000)),
+        )
     return pairs_with_text.map_batches(
         scorer_cls or PairScorer,
         fn_constructor_args=(cfg, lut_ref),
