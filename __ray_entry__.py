@@ -171,10 +171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mediachain_indexer_ray.pipelines import similarity as sim
 
     def _docs(sf_dir):
-        import ray.data
+        from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
 
-        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                     columns=["doc_id", "text"])
+        return read_parquet_wide(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
 
     return {
         # relational / aggregation / join / sort / set ops (SQL oracles)

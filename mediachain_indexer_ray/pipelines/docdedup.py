@@ -104,10 +104,16 @@ def minhash_lsh_pairs(
     # applies the identical hamming bound anyway (output unchanged), and
     # boilerplate corpora co-band ~100× more pairs than are near-dups — this
     # drops them before they pay the cross-band shuffle
+    from mediachain_indexer_ray.config import default_parallelism
     from mediachain_indexer_ray.stages.blocking import simhash_prefilter
 
+    # adaptive band batch size: keeps the band→pair→verify chain at cluster
+    # width for small corpora (sort-shuffle output blocks == input blocks)
+    band_bs = max(64, min(cfg.batch_size_rows,
+                          -(-n_docs // default_parallelism())))
     cand = dedup_pairs(
-        simhash_prefilter(emit_pairs(emit_bands(sigs, cfg), cfg), cfg), cfg
+        simhash_prefilter(emit_pairs(emit_bands(sigs, cfg, band_bs), cfg), cfg),
+        cfg,
     )
     # MinHash-estimate prefilter margin: estimate stderr is
     # sqrt(j(1-j)/K) ≈ 0.044 at K=128, j=0.5 — 0.25 is >5σ, recall-safe

@@ -125,6 +125,8 @@ def documents_as_media(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
+
+    ds = read_parquet_wide(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

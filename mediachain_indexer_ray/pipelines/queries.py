@@ -30,7 +30,9 @@ _PARTS = 8  # sf0.01-scale bucket count for oracle queries
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
+
+    return read_parquet_wide(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------

@@ -31,12 +31,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _topk_reduce(parts: "ray.data.Dataset", k: int) -> pa.Table:
-    """Final exact top-k per query over the per-batch partial candidates,
-    as a DISTRIBUTED shuffle reduce on q_vec_id (one bucket holds all of a
-    query's partials) — the query set can scale without a driver-side
-    to_pandas of every partial (VERDICT r1 #8). Only the final (n_queries × k)
-    result is collected."""
+def _topk_reduce(parts: "ray.data.Dataset", k: int, n_queries: int) -> pa.Table:
+    """Final exact top-k per query over the per-batch partial candidates — a
+    DISTRIBUTED reduce; only the final (n_queries × k) result is collected
+    (VERDICT r1 #8). Two shapes, both scale-safe:
+
+    - small query set (n_queries × k fits one task): parts blocks are already
+      per-batch partial top-k (≤ n_q×k rows each), so ``repartition(1)`` + one
+      exact pass is a tree reduce with no hash shuffle (the shuffle's fixed
+      cost dominated this query at bench scale).
+    - large query set: hash-shuffle on q_vec_id sized to the query count, so
+      no single task ever holds the whole result.
+    """
     from mediachain_indexer_ray.stages.partition import grouped_partitions
 
     def _fn(t: pa.Table) -> pa.Table:
@@ -61,7 +67,15 @@ def _topk_reduce(parts: "ray.data.Dataset", k: int) -> pa.Table:
             }
         )
 
-    red = grouped_partitions(parts, "q_vec_id", _fn, 8)
+    if n_queries * k <= 262_144:
+        # parts blocks are already ≤ n_q×k rows (per-batch partial top-k), so
+        # a single repartition(1) merge task holds ≤ n_blocks×n_q×k rows
+        red = parts.repartition(1).map_batches(
+            _fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    else:
+        red = grouped_partitions(parts, "q_vec_id", _fn,
+                                 max(8, n_queries * k // 131_072))
     tabs = [t for t in ray.get(red.to_arrow_refs()) if t.num_rows > 0]
     tab = pa.concat_tables(tabs).combine_chunks() if tabs else pa.table(
         {"q_vec_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
@@ -73,18 +87,33 @@ def _topk_reduce(parts: "ray.data.Dataset", k: int) -> pa.Table:
     return tab.take(idx)
 
 
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side row-group-pruned parquet read of the query side — the
+    broadcast-small-side idiom (bounded by n_queries rows, never the corpus;
+    a Dataset filter+take_all here cost 1.4 s of tiny-task scheduling for
+    5 rows at bench scale)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    q_ids = t.column("vec_id").to_numpy()
+    order = np.argsort(q_ids)
+    return q_ids[order], _normalize(_emb_matrix(t)[order])
+
+
 def ann_cosine_topk(
     sf_dir: str, n_queries: int = 5, k: int = 10
 ) -> pa.Table:
     """Exact brute-force cosine top-k: queries = vec_id < n_queries, corpus =
     the rest. Returns (q_vec_id, vec_id, rank)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    q_tab = ds.filter(expr=f"vec_id < {n_queries}").take_all()
-    q_ids = np.array([r["vec_id"] for r in q_tab])
-    order = np.argsort(q_ids)
-    q_ids = q_ids[order]
-    Q = _normalize(np.array([q_tab[i]["embedding"] for i in order], np.float64))
+    from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
+
+    ds = read_parquet_wide(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    q_ids, Q = _load_queries(sf_dir, n_queries)
     q_ref = ray.put((q_ids, Q))
 
     corpus = ds.filter(expr=f"vec_id >= {n_queries}")
@@ -113,7 +142,7 @@ def ann_cosine_topk(
 
     parts = corpus.map_batches(_partial, batch_format="pyarrow",
                                zero_copy_batch=True)
-    return _topk_reduce(parts, k)
+    return _topk_reduce(parts, k, n_queries)
 
 
 ANN_COSINE_TOPK_SQL = """
@@ -135,7 +164,9 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset
     to the synthetic embedding spread; same-label max ≈ 0.45)."""
     from mediachain_indexer_ray.stages.partition import grouped_partitions
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
+
+    ds = read_parquet_wide(f"{sf_dir}/embeddings.parquet")
 
     def _fn(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -193,13 +224,11 @@ def ann_lsh_topk(
     selectivity (~``(1+n_bits)/2^n_bits`` of the corpus at probe_hamming=1),
     not corpus size. Exact within probed buckets; recall vs brute force is
     pinned by ``test_ann_lsh_recall``."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    q_tab = ds.filter(expr=f"vec_id < {n_queries}").take_all()
-    q_ids = np.array([r["vec_id"] for r in q_tab])
-    order = np.argsort(q_ids)
-    q_ids = q_ids[order]
-    Q = _normalize(np.array([q_tab[i]["embedding"] for i in order], np.float64))
+    from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
+
+    ds = read_parquet_wide(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    q_ids, Q = _load_queries(sf_dir, n_queries)
 
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((Q.shape[1], n_bits))  # hyperplanes (broadcast)
@@ -268,4 +297,4 @@ def ann_lsh_topk(
 
     parts = corpus.map_batches(_partial, batch_format="pyarrow",
                                zero_copy_batch=True)
-    return _topk_reduce(parts, k)
+    return _topk_reduce(parts, k, n_queries)

@@ -81,3 +81,31 @@ def read_transcripts_json(path: str) -> ray.data.Dataset:
         return normalize_batch(pa.table(cols))
 
     return ds.map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_parquet_wide(
+    path: str, *, columns: list[str] | None = None,
+    target_block_bytes: int = 128 << 20,
+) -> ray.data.Dataset:
+    """Parquet read whose block count is floored at cluster width: small files
+    still fan out to ``default_parallelism()`` blocks (Ray's sort-based
+    ``groupby.map_groups`` emits as many output blocks as INPUT blocks — a
+    1-file corpus read would otherwise serialize every downstream shuffle to
+    1-2 tasks), while large inputs keep ~``target_block_bytes`` blocks so the
+    override never COALESCES a 100-TB read down to cluster width."""
+    import os
+
+    from mediachain_indexer_ray.config import default_parallelism
+
+    total = 0
+    if os.path.isfile(path):
+        total = os.stat(path).st_size
+    else:
+        for root, _, files in os.walk(path):
+            total += sum(
+                os.stat(os.path.join(root, f)).st_size
+                for f in files if f.endswith(".parquet")
+            )
+    blocks = max(default_parallelism(), -(-total // target_block_bytes))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=blocks)

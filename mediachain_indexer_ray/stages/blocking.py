@@ -155,13 +155,21 @@ def _emit_bands_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     )
 
 
-def emit_bands(reps: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
+def emit_bands(
+    reps: ray.data.Dataset, cfg: Config, batch_size: int | None = None
+) -> ray.data.Dataset:
+    """``batch_size`` controls task FAN-OUT as well as batch shape: Ray bundles
+    input blocks until a bundle reaches batch_size rows, and downstream
+    sort-shuffles emit exactly as many output blocks as they get input blocks
+    — a small corpus with the default 4096 collapses the whole pair/verify
+    pipeline to ~2 tasks. Callers that know the corpus is small pass
+    ``ceil(n_rows / default_parallelism())`` to keep the pipeline wide."""
     return reps.map_batches(
         _emit_bands_batch,
         fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=cfg.batch_size_rows,
+        batch_size=batch_size or cfg.batch_size_rows,
     )
 
 
