@@ -203,6 +203,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_median": Q.order_status_median,
         "top_event_type_per_user": Q.top_event_type_per_user,
         "monthly_distinct_users": Q.monthly_distinct_users,
+        "running_revenue": Q.running_revenue,
+        "event_type_pivot": Q.event_type_pivot,
+        "order_price_quantiles_cont": Q.order_price_quantiles_cont,
+        "rollup_revenue": Q.rollup_revenue,
+        "stratified_sample_events": Q.stratified_sample_events,
+        "frequent_tokens_sketch": Q.frequent_tokens_sketch,
+        # rows-only: approximate sketch (tolerance pinned by unit test)
+        "approx_distinct_users": Q.approx_distinct_users,
         # text analysis (SQL oracles)
         "token_stats": Q.token_stats,
         "text_quality": Q.text_quality,
@@ -257,6 +265,12 @@ def oracle_sql() -> dict[str, str]:
         "order_status_median": Q.ORDER_STATUS_MEDIAN_SQL,
         "top_event_type_per_user": Q.TOP_EVENT_TYPE_PER_USER_SQL,
         "monthly_distinct_users": Q.MONTHLY_DISTINCT_USERS_SQL,
+        "running_revenue": Q.RUNNING_REVENUE_SQL,
+        "event_type_pivot": Q.EVENT_TYPE_PIVOT_SQL,
+        "order_price_quantiles_cont": Q.ORDER_PRICE_QUANTILES_CONT_SQL,
+        "rollup_revenue": Q.ROLLUP_REVENUE_SQL,
+        "stratified_sample_events": Q.STRATIFIED_SAMPLE_EVENTS_SQL,
+        "frequent_tokens_sketch": Q.FREQUENT_TOKENS_SKETCH_SQL,
         "token_stats": Q.TOKEN_STATS_SQL,
         "text_quality": Q.TEXT_QUALITY_SQL,
         "top_tokens": Q.TOP_TOKENS_SQL,

@@ -1245,3 +1245,367 @@ SELECT CAST(year(ts)*100 + month(ts) AS BIGINT) AS ym,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# cumulative window: running revenue per customer over order history — one
+# shuffle on the partition key, sequential prefix-sum inside each bucket
+# (cents int64 so the result is order-exact, no float accumulation drift)
+# ---------------------------------------------------------------------------
+
+def running_revenue(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("o_custkey", "ascending"),
+                          ("o_orderdate", "ascending"),
+                          ("o_orderkey", "ascending")]
+        )
+        t = t.take(idx)
+        cust = t.column("o_custkey").to_numpy()
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        cum = np.cumsum(cents)
+        # reset at each customer boundary: subtract the prefix before the group
+        first = np.ones(len(cust), bool)
+        if len(cust) > 1:
+            np.not_equal(cust[1:], cust[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        base = np.repeat(cum[starts] - cents[starts],
+                         np.diff(np.append(starts, len(cust))))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "cum_cents": pa.array(cum - base),
+            }
+        )
+
+    return grouped_partitions(ds, "o_custkey", _fn, _PARTS)
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot: per-user event-type counts as fixed columns (the wide-table shape a
+# feature pipeline feeds a trainer) — per-batch partial pivot (combiner),
+# then a sum-groupby on user_id; moved data is O(users × types), not O(rows)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy()
+        et = b.column("event_type")
+        uniq, inv = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(uniq)}
+        for name in EVENT_TYPES:
+            is_t = pc.equal(et, name).to_numpy(zero_copy_only=False)
+            cols[f"n_{name}"] = pa.array(
+                np.bincount(inv, weights=is_t, minlength=len(uniq)).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .sum([f"n_{t}" for t in EVENT_TYPES])
+    )
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["user_id"] + [f"n_{x}" for x in EVENT_TYPES]
+        )
+
+    return agg.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)    AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)    AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)   AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# interpolated (continuous) quantiles — same value-histogram machinery as
+# order_price_quantiles (O(|distinct|) moved), with percentile_cont's
+# linear interpolation between adjacent order statistics
+# ---------------------------------------------------------------------------
+
+def order_price_quantiles_cont(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        v, c = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(v), "n": pa.array(c.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cents")
+        .sum("n")
+    )
+    t = pa.concat_tables(
+        [tt for tt in ray.get(hist.to_arrow_refs()) if tt.num_rows > 0]
+    ).combine_chunks()
+    v = t.column("cents").to_numpy().astype(np.float64)
+    c = t.column("sum(n)").to_numpy()
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    rows_q, rows_v = [], []
+    for qm in QUANTILES_MILLI:
+        # percentile_cont: 0-based position q*(n-1), linear interpolation
+        pos = qm * (n - 1) / 1000.0
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, n - 1)
+        v_lo = v[np.searchsorted(cum, lo + 1)]
+        v_hi = v[np.searchsorted(cum, hi + 1)]
+        rows_q.append(qm)
+        rows_v.append(v_lo + (pos - lo) * (v_hi - v_lo))
+    return pa.table(
+        {"q_milli": pa.array(rows_q, pa.int64()),
+         "cents": pa.array(rows_v, pa.float64())}
+    )
+
+
+ORDER_PRICE_QUANTILES_CONT_SQL = """
+WITH c AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders)
+SELECT CAST(250 AS BIGINT) AS q_milli, quantile_cont(cents, 0.25) AS cents FROM c
+UNION ALL SELECT 500, quantile_cont(cents, 0.50) FROM c
+UNION ALL SELECT 900, quantile_cont(cents, 0.90) FROM c
+UNION ALL SELECT 990, quantile_cont(cents, 0.99) FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup: revenue at (status, year), (status, *), (*, *) — ONE distributed
+# aggregate at the finest grain; coarser grains derive from that (bounded by
+# group cardinality) small result, so no second pass over the fact table
+# ---------------------------------------------------------------------------
+
+def rollup_revenue(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderdate", "o_totalprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        status = b.column("o_orderstatus")
+        year = pc.year(b.column("o_orderdate")).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(np.int64)
+        key = pa.table({"o_orderstatus": status, "yr": pa.array(year),
+                        "cents": pa.array(cents)})
+        g = key.group_by(["o_orderstatus", "yr"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["o_orderstatus", "yr", "cents"])
+
+    fine = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "yr"])
+        .sum("cents")
+    )
+    t = pa.concat_tables(
+        [tt for tt in ray.get(fine.to_arrow_refs()) if tt.num_rows > 0]
+    ).combine_chunks()
+    status = t.column("o_orderstatus").to_pylist()
+    yr = t.column("yr").to_numpy()
+    cents = t.column("sum(cents)").to_numpy()
+    rows = [(s, int(y), int(c)) for s, y, c in zip(status, yr, cents)]
+    # status subtotal + grand total (sentinels, not NULLs — hash-stable)
+    from collections import defaultdict
+
+    sub = defaultdict(int)
+    for s, _, c in rows:
+        sub[s] += c
+    rows += [(s, 0, c) for s, c in sub.items()]
+    rows.append(("<all>", 0, sum(sub.values())))
+    rows.sort()
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], pa.string()),
+            "yr": pa.array([r[1] for r in rows], pa.int64()),
+            "revenue_cents": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+ROLLUP_REVENUE_SQL = """
+SELECT COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
+       CAST(COALESCE(yr, 0) AS BIGINT) AS yr,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM (SELECT o_orderstatus, year(o_orderdate) AS yr,
+             CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+GROUP BY ROLLUP(o_orderstatus, yr)
+ORDER BY o_orderstatus, yr
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact stratified sample: the smallest ceil(10%) of each event_type stratum
+# by a deterministic per-row hash — one shuffle on the stratum key, rank
+# selection in-bucket. (Low-cardinality strata make one bucket hold a whole
+# stratum; at 100-TB scale the same semantics run as a two-pass histogram
+# selection on the hash — count per stratum, select the k-th smallest hash
+# as a threshold — reusing the order_price_quantiles machinery.)
+# ---------------------------------------------------------------------------
+
+def stratified_sample_events(sf_dir: str, frac_milli: int = 100):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        h = (t.column("event_id").to_numpy() * np.int64(2654435761)) % np.int64(
+            1000000007
+        )
+        idx = np.lexsort((t.column("event_id").to_numpy(), h,
+                          pc.cast(et, pa.string()).to_numpy(zero_copy_only=False)))
+        t = t.take(pa.array(idx))
+        codes = pc.cast(t.column("event_type"), pa.string()).to_numpy(zero_copy_only=False)
+        first = np.ones(len(codes), bool)
+        if len(codes) > 1:
+            first[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(codes)))
+        rank = np.arange(len(codes)) - np.repeat(starts, sizes)
+        keep = rank < np.repeat(-(-sizes * frac_milli // 1000), sizes)
+        return t.filter(pa.array(keep)).select(
+            ["event_id", "user_id", "event_type"]
+        )
+
+    return grouped_partitions(ds, "event_type", _fn, _PARTS)
+
+
+STRATIFIED_SAMPLE_EVENTS_SQL = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY (event_id * 2654435761) % 1000000007, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+WHERE rn <= CEIL(n * 100 / 1000.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# mergeable-sketch operators (functions/sketches.py): the bounded-memory
+# scale path for cardinality and heavy hitters. HLL rides Ray Data's native
+# AggregateFn tree-merge (O(16 KB) per block moved, never rows); heavy
+# hitters do a Misra-Gries candidate pass + an exact recount restricted to
+# the candidate set, so the final counts are EXACT (SQL-oracle-checkable)
+# while every stage stays O(sketch)-bounded.
+# ---------------------------------------------------------------------------
+
+def approx_distinct_users(sf_dir: str, p: int = 14):
+    from ray.data.aggregate import AggregateFn
+
+    from mediachain_indexer_ray.functions.sketches import (
+        hll_estimate,
+        hll_from_ints,
+        hll_merge,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    agg = AggregateFn(
+        init=lambda k: np.zeros(1 << p, np.uint8),
+        accumulate_block=lambda regs, block: hll_merge(
+            regs, hll_from_ints(block.column("user_id").to_numpy(), p)
+        ),
+        merge=hll_merge,
+        name="hll",
+    )
+    regs = ds.aggregate(agg)["hll"]
+    return pa.table(
+        {"approx_users": pa.array([int(round(hll_estimate(regs)))], pa.int64())}
+    )
+
+
+def frequent_tokens_sketch(sf_dir: str, k: int = 20, m: int = 8192):
+    """Exact top-k tokens via a two-pass sketch: (1) per-batch Misra-Gries
+    summaries (≤ m counters each) merged into one global candidate set —
+    guaranteed to contain every token with frequency > N/m, far below any
+    top-20 boundary on natural text; (2) exact recount restricted to the
+    broadcast candidate hashes. Shuffled data is O(m) per block in pass 1 and
+    O(candidates) in pass 2 — never O(distinct tokens)."""
+    from mediachain_indexer_ray.functions.hashing import hash_strings
+    from mediachain_indexer_ray.functions.sketches import mg_summary
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _tok_counts(b: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+        lower = pc.utf8_lower(b.column("text").combine_chunks())
+        toks = pc.split_pattern_regex(lower, "[^a-z]+")
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.table({"token": flat})
+        agg = pa.TableGroupBy(t, "token", use_threads=False).aggregate(
+            [("token", "count")]
+        )
+        tok = agg.column("token").combine_chunks()
+        return (
+            tok,
+            hash_strings(tok, seed=0x70),
+            agg.column("token_count").to_numpy().astype(np.int64),
+        )
+
+    def _pass1(b: pa.Table) -> pa.Table:
+        _, h, c = _tok_counts(b)
+        hk, hc = mg_summary(h, c, m)
+        return pa.table({"h": pa.array(hk), "n": pa.array(hc)})
+
+    partials = ds.map_batches(_pass1, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # global merge: ≤ m rows per block — tiny; one driver-side MG keeps the
+    # candidate set ≤ m regardless of block count
+    tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows > 0]
+    allp = pa.concat_tables(tabs).combine_chunks() if tabs else pa.table(
+        {"h": pa.array([], pa.uint64()), "n": pa.array([], pa.int64())}
+    )
+    ck, _ = mg_summary(allp.column("h").to_numpy(), allp.column("n").to_numpy(), m)
+    cand_ref = ray.put(np.sort(ck))
+
+    def _pass2(b: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        tok, h, c = _tok_counts(b)
+        if len(cand):
+            pos = np.clip(np.searchsorted(cand, h), 0, len(cand) - 1)
+            hit = cand[pos] == h
+        else:
+            hit = np.zeros(len(h), bool)
+        return pa.table(
+            {"token": tok.filter(pa.array(hit)),
+             "part_n": pa.array(c[hit])}
+        )
+
+    part = ds.map_batches(_pass2, batch_format="pyarrow", zero_copy_batch=True)
+    total = part.groupby("token").sum(["part_n"]).rename_columns(
+        {"sum(part_n)": "n"}
+    )
+    return total.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+FREQUENT_TOKENS_SKETCH_SQL = """
+SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t FROM documents)
+GROUP BY t ORDER BY n DESC, token LIMIT 20
+"""

@@ -1,0 +1,97 @@
+"""Mergeable sketches: HLL accuracy + merge associativity, Misra-Gries
+guarantee and exact-recount equivalence on the driver testdata."""
+
+import numpy as np
+import pytest
+
+from mediachain_indexer_ray.functions.sketches import (
+    hll_estimate,
+    hll_from_ints,
+    hll_merge,
+    mg_merge,
+    mg_summary,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 10_000_000, 200_000, dtype=np.int64)
+    exact = len(np.unique(vals))
+    regs = hll_from_ints(vals, p=14)
+    assert abs(hll_estimate(regs) - exact) / exact < 0.03  # σ ≈ 0.8% at p=14
+
+    # merge of disjoint halves == sketch of the whole
+    h1, h2 = vals[: len(vals) // 2], vals[len(vals) // 2:]
+    merged = hll_merge(hll_from_ints(h1, p=14), hll_from_ints(h2, p=14))
+    assert np.array_equal(merged, regs)
+
+
+def test_hll_small_range_linear_counting():
+    vals = np.arange(50, dtype=np.int64)
+    est = hll_estimate(hll_from_ints(vals, p=14))
+    assert abs(est - 50) < 2
+
+
+def test_mg_guarantee():
+    # Zipf-ish stream: every key with count > N/m must survive with
+    # underestimate ≤ N/m
+    rng = np.random.default_rng(11)
+    keys = rng.zipf(1.5, 100_000).astype(np.int64)
+    uk, uc = np.unique(keys, return_counts=True)
+    m = 64
+    sk, sc = mg_summary(keys, np.ones(len(keys), np.int64), m)
+    n = len(keys)
+    heavy = uk[uc > n // m]
+    surv = dict(zip(sk.tolist(), sc.tolist()))
+    for h, true_c in zip(heavy, uc[uc > n // m]):
+        assert h in surv
+        assert 0 <= true_c - surv[h] <= n // m + 1
+    assert len(sk) <= m
+
+
+def test_mg_merge_matches_single_pass_candidates():
+    rng = np.random.default_rng(13)
+    a = rng.zipf(1.3, 50_000).astype(np.int64)
+    b = rng.zipf(1.3, 50_000).astype(np.int64)
+    m = 128
+    ka, ca = mg_summary(a, np.ones(len(a), np.int64), m)
+    kb, cb = mg_summary(b, np.ones(len(b), np.int64), m)
+    km, _ = mg_merge(ka, ca, kb, cb, m)
+    both = np.concatenate([a, b])
+    uk, uc = np.unique(both, return_counts=True)
+    heavy = uk[uc > len(both) * 2 // m]  # 2× slack: two compression rounds
+    assert set(heavy.tolist()) <= set(km.tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_users_vs_exact():
+    import duckdb
+
+    from mediachain_indexer_ray.pipelines.queries import approx_distinct_users
+
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    est = approx_distinct_users(SF).column("approx_users")[0].as_py()
+    assert abs(est - exact) / exact < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frequent_tokens_sketch_matches_exact_topk():
+    import duckdb
+
+    from mediachain_indexer_ray.pipelines.queries import (
+        FREQUENT_TOKENS_SKETCH_SQL,
+        frequent_tokens_sketch,
+    )
+
+    got = frequent_tokens_sketch(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(FREQUENT_TOKENS_SKETCH_SQL).fetchdf()
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
