@@ -1609,3 +1609,110 @@ SELECT t AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t FROM documents)
 GROUP BY t ORDER BY n DESC, token LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked search — the reference ranks with an ES inverted index
+# (``[ref: mc_web.py /search — unverified]``); the Ray-Data-native batch
+# equivalent is two streaming passes: (1) tiny corpus-stats aggregate
+# (N, total_len, df per query term — O(terms) per block), (2) broadcast
+# those stats and score each batch vectorized, global top-k. Scores are fixed
+# to integer thousandths so ranking is hash-stable across engines.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(sf_dir: str, k: int = 25):
+    from ray.data.aggregate import AggregateFn
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(SEARCH_TERMS)
+
+    def _tok(b: pa.Table):
+        lower = pc.utf8_lower(b.column("text").combine_chunks())
+        toks = pc.split_pattern_regex(lower, "[^a-z]+")
+        flat = toks.flatten()
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets.to_numpy()).astype(np.int64)
+        dl = np.add.reduceat(
+            np.append(ok, False), off[:-1]
+        )[: b.num_rows].astype(np.int64) if len(ok) else np.zeros(b.num_rows, np.int64)
+        # per-doc tf of each query term
+        tf = np.zeros((b.num_rows, len(terms)), np.int64)
+        doc_of = np.repeat(np.arange(b.num_rows), np.diff(off))
+        for j, term in enumerate(terms):
+            is_t = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            if is_t.any():
+                tf[:, j] = np.bincount(doc_of[is_t], minlength=b.num_rows)
+        return dl, tf
+
+    def _acc(state, block: pa.Table):
+        dl, tf = _tok(block)
+        return state + np.concatenate(
+            [[block.num_rows, int(dl.sum())], (tf > 0).sum(axis=0)]
+        )
+
+    stats = ds.aggregate(AggregateFn(
+        init=lambda _: np.zeros(2 + len(terms), np.int64),
+        accumulate_block=_acc,
+        merge=lambda a, b: a + b,
+        name="bm25_stats",
+    ))["bm25_stats"]
+    n_docs, total_len = int(stats[0]), int(stats[1])
+    df = stats[2:]
+    avgdl = total_len / n_docs if n_docs else 1.0
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    stats_ref = ray.put((idf, avgdl))
+
+    def _score(b: pa.Table) -> pa.Table:
+        idf_v, avg = ray.get(stats_ref)
+        dl, tf = _tok(b)
+        denom = tf + (BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avg)))[:, None]
+        score = (idf_v[None, :] * (tf * (BM25_K1 + 1.0)) / denom).sum(axis=1)
+        milli = np.floor(score * 1000 + 0.5).astype(np.int64)
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "score_milli": pa.array(milli)})
+        return t.filter(pa.array(milli > 0))
+
+    scored = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["score_milli", "doc_id"], descending=[True, False]).limit(k)
+
+
+BM25_SEARCH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(len(ts)) / COUNT(*) AS avgdl FROM tok
+), tf AS (
+  SELECT doc_id, len(ts) AS dl,
+         len(list_filter(ts, x -> x = 'spark'))  AS tf0,
+         len(list_filter(ts, x -> x = 'query'))  AS tf1,
+         len(list_filter(ts, x -> x = 'stream')) AS tf2
+  FROM tok
+), df AS (
+  SELECT SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM tf
+)
+SELECT doc_id, score_milli FROM (
+  SELECT doc_id,
+    CAST(FLOOR((
+        ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+          * (tf0 * ({BM25_K1} + 1.0))
+          / (tf0 + ({BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl / avgdl))))
+      + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+          * (tf1 * ({BM25_K1} + 1.0))
+          / (tf1 + ({BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl / avgdl))))
+      + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+          * (tf2 * ({BM25_K1} + 1.0))
+          / (tf2 + ({BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl / avgdl))))
+    ) * 1000 + 0.5) AS BIGINT) AS score_milli
+  FROM tf, stats, df
+) WHERE score_milli > 0
+ORDER BY score_milli DESC, doc_id LIMIT 25
+"""
