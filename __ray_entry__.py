@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": Q.stratified_sample_events,
         "frequent_tokens_sketch": Q.frequent_tokens_sketch,
         "bm25_search": Q.bm25_search,
+        "decontaminate_documents": Q.decontaminate_documents,
         # rows-only: approximate sketch (tolerance pinned by unit test)
         "approx_distinct_users": Q.approx_distinct_users,
         # text analysis (SQL oracles)
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_events": Q.STRATIFIED_SAMPLE_EVENTS_SQL,
         "frequent_tokens_sketch": Q.FREQUENT_TOKENS_SKETCH_SQL,
         "bm25_search": Q.BM25_SEARCH_SQL,
+        "decontaminate_documents": Q.DECONTAMINATE_DOCUMENTS_SQL,
         "token_stats": Q.TOKEN_STATS_SQL,
         "text_quality": Q.TEXT_QUALITY_SQL,
         "top_tokens": Q.TOP_TOKENS_SQL,

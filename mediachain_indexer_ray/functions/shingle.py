@@ -98,3 +98,34 @@ def shingle_hashes(arr, k: int) -> tuple[np.ndarray, np.ndarray]:
         out[boundaries[:-1][short]] = hash_bytes_array(data, starts[short], ends[short])
 
     return out, boundaries
+
+
+def rolling_window_hashes(
+    vals: np.ndarray, boundaries: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Polynomial hash of every k-length window of ``vals`` WITHIN each row
+    segment (``boundaries[i]:boundaries[i+1]`` is row *i*'s values) — the
+    token-level analog of :func:`shingle_hashes`. Rows with fewer than ``k``
+    values emit nothing. One k-pass rolling accumulate over the flat array,
+    then a vectorized gather of each row's valid window positions."""
+    n = len(boundaries) - 1
+    m = len(vals)
+    nwin = max(0, m - k + 1)
+    H = np.zeros(nwin, U64)
+    if nwin:
+        v = vals.astype(U64)
+        np.add(H, v[0:nwin], out=H)
+        for j in range(1, k):
+            H *= _C
+            np.add(H, v[j : j + nwin], out=H)
+        H = splitmix64(H)
+    counts = np.maximum(np.diff(boundaries) - k + 1, 0).astype(np.int64)
+    outb = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=outb[1:])
+    total = int(outb[-1])
+    gather = (
+        np.repeat(boundaries[:-1].astype(np.int64), counts)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(outb[:-1], counts)
+    ) if total else np.empty(0, np.int64)
+    return H[gather], outb

@@ -1716,3 +1716,103 @@ SELECT doc_id, score_milli FROM (
 ) WHERE score_milli > 0
 ORDER BY score_milli DESC, doc_id LIMIT 25
 """
+
+
+# ---------------------------------------------------------------------------
+# decontamination: flag corpus documents sharing any k-token shingle with a
+# benchmark/eval set (the LLM-training-data hygiene operator). Benchmark side
+# is bounded (broadcast once via ray.put); the corpus streams through one
+# map_batches with a vectorized rolling token-window hash — no shuffle at
+# all. n_shared counts DISTINCT shared shingles per document.
+# ---------------------------------------------------------------------------
+
+DECON_BENCH_DOCS = 20  # benchmark set = doc_id < this
+DECON_K = 8            # token-shingle width
+
+
+def _token_shingles(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, boundaries) of k-token-window hashes per text row; tokens are
+    the same [a-z]+ stream every text operator here uses."""
+    from mediachain_indexer_ray.functions.hashing import hash_strings
+    from mediachain_indexer_ray.functions.shingle import rolling_window_hashes
+
+    lower = pc.utf8_lower(texts)
+    toks = pc.split_pattern_regex(lower, "[^a-z]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    off = np.asarray(toks.offsets.to_numpy()).astype(np.int64)
+    # per-row token counts after dropping the empty-string artifacts
+    cnt = (
+        np.add.reduceat(np.append(ok, False), off[:-1])[: len(off) - 1]
+        .astype(np.int64)
+        if len(ok)
+        else np.zeros(len(off) - 1, np.int64)
+    )
+    cnt[np.diff(off) == 0] = 0
+    th = hash_strings(flat.filter(pa.array(ok)))
+    b = np.zeros(len(cnt) + 1, np.int64)
+    np.cumsum(cnt, out=b[1:])
+    return rolling_window_hashes(th, b, k)
+
+
+def decontaminate_documents(sf_dir: str, n_bench: int = DECON_BENCH_DOCS,
+                            k: int = DECON_K):
+    import pyarrow.parquet as pq
+
+    bt = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", n_bench)],
+    )
+    bh, _ = _token_shingles(bt.column("text").combine_chunks(), k)
+    bench_ref = ray.put(np.unique(bh))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("doc_id"), n_bench))
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_shared": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        bench = ray.get(bench_ref)
+        h, outb = _token_shingles(b.column("text").combine_chunks(), k)
+        if len(h) == 0 or len(bench) == 0:
+            return empty
+        pos = np.clip(np.searchsorted(bench, h), 0, len(bench) - 1)
+        hit = bench[pos] == h
+        rows = np.repeat(np.arange(b.num_rows), np.diff(outb))[hit]
+        hh = h[hit]
+        if not len(hh):
+            return empty
+        # distinct (row, shingle) pairs, then per-row counts
+        order = np.lexsort((hh, rows))
+        rows, hh = rows[order], hh[order]
+        first = np.ones(len(rows), bool)
+        first[1:] = (rows[1:] != rows[:-1]) | (hh[1:] != hh[:-1])
+        n_shared = np.bincount(rows[first], minlength=b.num_rows)
+        docs = b.column("doc_id").to_numpy()
+        nz = n_shared > 0
+        return pa.table(
+            {"doc_id": pa.array(docs[nz]),
+             "n_shared": pa.array(n_shared[nz].astype(np.int64))}
+        )
+
+    out = ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("doc_id")
+
+
+DECONTAMINATE_DOCUMENTS_SQL = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+             FROM documents),
+ bench AS (SELECT DISTINCT array_to_string(ts[i:i+7], ' ') AS s
+           FROM tok, UNNEST(range(1, greatest(len(ts)-6, 1))) AS t(i)
+           WHERE doc_id < 20),
+ corp AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS s
+          FROM tok, UNNEST(range(1, greatest(len(ts)-6, 1))) AS t(i)
+          WHERE doc_id >= 20)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM corp JOIN bench USING (s)
+GROUP BY doc_id ORDER BY doc_id
+"""
