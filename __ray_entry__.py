@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tokens_sketch": Q.frequent_tokens_sketch,
         "bm25_search": Q.bm25_search,
         "decontaminate_documents": Q.decontaminate_documents,
+        "pack_documents": Q.pack_documents,
+        "keep_best_documents": Q.keep_best_documents,
         # rows-only: approximate sketch (tolerance pinned by unit test)
         "approx_distinct_users": Q.approx_distinct_users,
         # text analysis (SQL oracles)
@@ -275,6 +277,8 @@ def oracle_sql() -> dict[str, str]:
         "frequent_tokens_sketch": Q.FREQUENT_TOKENS_SKETCH_SQL,
         "bm25_search": Q.BM25_SEARCH_SQL,
         "decontaminate_documents": Q.DECONTAMINATE_DOCUMENTS_SQL,
+        "pack_documents": Q.PACK_DOCUMENTS_SQL,
+        "keep_best_documents": Q.KEEP_BEST_DOCUMENTS_SQL,
         "token_stats": Q.TOKEN_STATS_SQL,
         "text_quality": Q.TEXT_QUALITY_SQL,
         "top_tokens": Q.TOP_TOKENS_SQL,

@@ -1816,3 +1816,157 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM corp JOIN bench USING (s)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: assign documents (in doc_id order) to fixed-budget
+# training bins — a distributed prefix scan: range-partition by key, per-range
+# token totals (tiny groupby), driver cumsum of the ~P range offsets,
+# broadcast, then in-range ordered cumsum. One shuffle; the only driver state
+# is O(ranges).
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 2048
+PACK_RANGE = 1024  # docs per range partition (key-space split, not row count)
+
+
+def pack_documents(sf_dir: str, budget: int = PACK_BUDGET_TOKENS):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tokens(b: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(b.column("text").combine_chunks())
+        toks = pc.split_pattern_regex(lower, "[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        off = np.asarray(toks.offsets.to_numpy()).astype(np.int64)
+        cnt = (
+            np.add.reduceat(np.append(ok, False), off[:-1])[: b.num_rows]
+            .astype(np.int64)
+            if len(ok) else np.zeros(b.num_rows, np.int64)
+        )
+        cnt[np.diff(off) == 0] = 0
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tok": pa.array(cnt),
+                "rng": pa.array(
+                    (b.column("doc_id").to_numpy() // PACK_RANGE).astype(np.int64)
+                ),
+            }
+        )
+
+    toks = ds.map_batches(_tokens, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    # per-range totals → exclusive offsets (O(ranges) driver state)
+    per_rng = toks.groupby("rng").sum("n_tok")
+    rt = pa.concat_tables(
+        [t for t in ray.get(per_rng.to_arrow_refs()) if t.num_rows > 0]
+    ).combine_chunks()
+    rng_ids = rt.column("rng").to_numpy()
+    rng_sum = rt.column("sum(n_tok)").to_numpy()
+    order = np.argsort(rng_ids)
+    rng_ids, rng_sum = rng_ids[order], rng_sum[order]
+    offsets = np.concatenate([[0], np.cumsum(rng_sum[:-1])]).astype(np.int64)
+    off_ref = ray.put((rng_ids, offsets))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids, offs = ray.get(off_ref)
+        idx = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+        t = t.take(idx)
+        n_tok = t.column("n_tok").to_numpy()
+        rng = t.column("rng").to_numpy()
+        base = offs[np.searchsorted(ids, rng)]
+        # in-range ordered prefix (exclusive) + the range's global offset
+        first = np.ones(len(rng), bool)
+        if len(rng) > 1:
+            first[1:] = rng[1:] != rng[:-1]
+        cum = np.cumsum(n_tok)
+        starts = np.flatnonzero(first)
+        local = cum - np.repeat(
+            cum[starts] - n_tok[starts], np.diff(np.append(starts, len(rng)))
+        )
+        start_tok = base + local - n_tok
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tok": t.column("n_tok"),
+                "bin_id": pa.array(start_tok // budget),
+            }
+        )
+
+    return grouped_partitions(toks, "rng", _assign, _PARTS)
+
+
+PACK_DOCUMENTS_SQL = f"""
+SELECT doc_id, n_tok,
+       CAST(FLOOR((cum - n_tok) / {PACK_BUDGET_TOKENS}.0) AS BIGINT) AS bin_id
+FROM (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+                   AS n_tok
+        FROM documents)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonical record selection: per exact-duplicate group (normalized text),
+# keep the "best" member (longest, then smallest id) — the keep-best variant
+# of exact dedup (exact_dedup_documents keeps first-by-id). One shuffle on
+# the text digest, vectorized argmax in-bucket.
+# ---------------------------------------------------------------------------
+
+def keep_best_documents(sf_dir: str):
+    from mediachain_indexer_ray.functions.hashing import hash_strings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def _digest(b: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(pc.utf8_lower(b.column("text").combine_chunks()))
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "digest": pa.array(hash_strings(norm, seed=0x3D)),
+            }
+        )
+
+    keyed = ds.map_batches(_digest, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _best(t: pa.Table) -> pa.Table:
+        d = t.column("digest").to_numpy()
+        nc = t.column("n_chars").to_numpy()
+        ids = t.column("doc_id").to_numpy()
+        order = np.lexsort((ids, -nc, d))  # per digest: n_chars desc, id asc
+        d, ids = d[order], ids[order]
+        first = np.ones(len(d), bool)
+        if len(d) > 1:
+            first[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(d)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts]),
+                "n_members": pa.array(sizes.astype(np.int64)),
+            }
+        )
+
+    return grouped_partitions(keyed, "digest", _best, _PARTS)
+
+
+KEEP_BEST_DOCUMENTS_SQL = """
+SELECT doc_id, n_members FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY trim(lower(text))
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY trim(lower(text))) AS BIGINT)
+             AS n_members
+  FROM documents
+) WHERE rn = 1
+"""
