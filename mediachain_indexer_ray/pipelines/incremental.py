@@ -100,9 +100,15 @@ def incremental_dedupe(
 
     n_base_reps = base.manifest("exact_dedup")["rows"]
     P_bands = sized_parallelism((n_base_reps + n_delta) * cfg.num_bands, 250_000)
+    from mediachain_indexer_ray.config import default_parallelism
+
+    # adaptive band batch (see pipelines/dedupe.py): keeps the delta pair
+    # chain at cluster width when base+delta is small
+    band_bs = max(64, min(cfg.batch_size_rows,
+                          -(-(n_base_reps + n_delta) // default_parallelism())))
 
     def _build_pairs():
-        bands = emit_bands(both, cfg)
+        bands = emit_bands(both, cfg, band_bs)
         # re-attach is_new: delta conv ids are few — broadcast their hash set
         from mediachain_indexer_ray.functions.hashing import hash_strings
 
