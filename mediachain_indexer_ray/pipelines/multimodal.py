@@ -29,18 +29,19 @@ MEDIA_SCHEMA = pa.schema(
 FEATURE_DIM = 16
 
 
-class MediaFeatureExtractor:
-    """Actor-pool stage: decoder/model state loads ONCE per actor in
-    __init__; __call__ handles a batch of binary payloads. Use with
-    ``map_batches(MediaFeatureExtractor, concurrency=N, batch_size=B)`` and a
-    SMALL batch_size — payloads are large binaries (SURVEY.md §4 memory).
+class ByteHistogramDecoder:
+    """The STUB decoder (no PIL/ffmpeg in this container): deterministic
+    byte-histogram projection features. This class defines the DECODER SEAM —
+    a real implementation (PIL thumbnailer, ffmpeg frame sampler + embedding
+    model) replaces it by passing ``decoder_cls=RealDecoder`` to
+    :class:`MediaFeatureExtractor` / :func:`extract_media_features`:
 
-    The decode step is a STUB (no PIL/ffmpeg in this container): features are
-    deterministic byte-histogram projections. The template matters more than
-    the stub: ALL reusable state — here the projection matrix, in a real
-    implementation the decoder + embedding model — is built in __init__, and
-    __call__ is fully batch-vectorized with zero per-item setup (round 1
-    rebuilt the projection matrix per payload inside a per-row loop)."""
+    * ``__init__(feature_dim)`` — load ALL reusable state (decoder handles,
+      model weights) ONCE per actor; here the projection matrix.
+    * ``decode(data, offsets, sizes) -> (n, feature_dim) float64`` — one call
+      per BATCH over the concatenated payload bytes (``data``), per-row
+      ``offsets`` (len n+1 int64 into ``data``) and ``sizes`` (len n int64;
+      0 = null/empty payload, its feature row must be zeroed)."""
 
     HIST_BINS = 251
 
@@ -51,6 +52,40 @@ class MediaFeatureExtractor:
         self.proj = np.random.default_rng(0xFEED).standard_normal(
             (self.HIST_BINS, feature_dim)
         )
+
+    def decode(self, data: np.ndarray, offsets: np.ndarray,
+               sizes: np.ndarray) -> np.ndarray:
+        n = len(sizes)
+        # batch byte histogram in ONE bincount: key = row*BINS + byte%BINS
+        row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        keys = row_of * self.HIST_BINS + (
+            data[offsets[0]:offsets[-1]] % self.HIST_BINS
+        )
+        hist = np.bincount(keys, minlength=n * self.HIST_BINS).astype(
+            np.float64).reshape(n, self.HIST_BINS)
+        tot = hist.sum(axis=1, keepdims=True)
+        tot[tot == 0] = 1.0
+        feats = (hist / tot) @ self.proj
+        feats[sizes == 0] = 0.0
+        return feats
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decoder/model state loads ONCE per actor in
+    __init__; __call__ handles a batch of binary payloads. Use with
+    ``map_batches(MediaFeatureExtractor, concurrency=N, batch_size=B)`` and a
+    SMALL batch_size — payloads are large binaries (SURVEY.md §4 memory).
+
+    The decoder is INJECTED (``decoder_cls``, default the byte-histogram
+    stub): swapping in PIL/ffmpeg on a real cluster is a one-line change
+    (VERDICT r2 #10). The template matters more than the stub: ALL reusable
+    state is built in __init__, and __call__ is fully batch-vectorized —
+    buffer extraction here, one ``decoder.decode`` call per batch."""
+
+    def __init__(self, feature_dim: int = FEATURE_DIM,
+                 decoder_cls: type = ByteHistogramDecoder):
+        self.feature_dim = feature_dim
+        self.decoder = decoder_cls(feature_dim)  # ONCE per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -72,17 +107,7 @@ class MediaFeatureExtractor:
         )
         sizes = np.diff(offsets)
         sizes[null_mask] = 0
-        # batch byte histogram in ONE bincount: key = row*BINS + byte%BINS
-        row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
-        keys = row_of * self.HIST_BINS + (
-            data[offsets[0]:offsets[-1]] % self.HIST_BINS
-        )
-        hist = np.bincount(keys, minlength=n * self.HIST_BINS).astype(
-            np.float64).reshape(n, self.HIST_BINS)
-        tot = hist.sum(axis=1, keepdims=True)
-        tot[tot == 0] = 1.0
-        feats = (hist / tot) @ self.proj
-        feats[sizes == 0] = 0.0
+        feats = self.decoder.decode(data, offsets, sizes)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -98,10 +123,12 @@ class MediaFeatureExtractor:
 
 
 def extract_media_features(
-    media: ray.data.Dataset, *, concurrency: int = 2, batch_size: int = 64
+    media: ray.data.Dataset, *, concurrency: int = 2, batch_size: int = 64,
+    decoder_cls: type = ByteHistogramDecoder,
 ) -> ray.data.Dataset:
     return media.map_batches(
         MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder_cls": decoder_cls},
         batch_format="pyarrow",
         batch_size=batch_size,       # small: payloads are big binaries
         concurrency=(1, concurrency),

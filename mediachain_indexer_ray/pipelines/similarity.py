@@ -19,6 +19,12 @@ import ray
 import ray.data
 
 
+# byte-wise popcount LUT: hamming of uint32 codes = LUT over their 4 bytes
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
     col = batch.column("embedding").combine_chunks()
     flat = np.asarray(col.flatten(), dtype=np.float64)
@@ -264,34 +270,32 @@ def ann_lsh_topk(
         codes_c = codes[cand]
         qc = ((Qm @ Hm) > 0).astype(np.uint32) @ bits
         sims = Mc @ Qm.T
-        out_q, out_v, out_s = [], [], []
-        for qi in range(Qm.shape[0]):
-            # per-query probe set: own code ± probe_hamming bits
-            ham = np.zeros(len(codes_c), np.uint32)
-            x = codes_c ^ qc[qi]
-            while True:
-                nz = x != 0
-                if not nz.any():
-                    break
-                ham[nz] += 1
-                x = x & (x - 1)
-            ok = ham <= probe_hamming
-            if not ok.any():
-                continue
-            s = sims[ok, qi]
-            iid = ids[ok]
-            kk = min(k, len(s))
-            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
-            out_q.append(np.full(len(top), ids_q[qi], np.int64))
-            out_v.append(iid[top])
-            out_s.append(s[top])
-        if not out_q:
+        # fully vectorized over queries (VERDICT r2 #7): byte-LUT popcount of
+        # the (n_cand × n_q) xor matrix, then ONE masked argpartition per
+        # batch — no Python per-query loop, safe to raise n_queries
+        n_cand, n_q = len(codes_c), Qm.shape[0]
+        xor = (codes_c[:, None] ^ qc[None, :]).astype(np.uint32)
+        ham = _POP8[np.ascontiguousarray(xor).view(np.uint8)
+                    .reshape(n_cand, n_q, 4)].sum(axis=2)
+        ok = ham <= probe_hamming
+        if not ok.any():
             return empty
+        masked = np.where(ok, sims, -np.inf)
+        kk = min(k, n_cand)
+        if n_cand > kk:
+            top = np.argpartition(-masked, kk - 1, axis=0)[:kk]
+        else:
+            top = np.broadcast_to(np.arange(n_cand)[:, None], (n_cand, n_q))
+        s = np.take_along_axis(masked, top, axis=0)
+        valid = np.isfinite(s)
+        if not valid.any():
+            return empty
+        q_col = np.nonzero(valid)[1]
         return pa.table(
             {
-                "q_vec_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "sim": pa.array(np.concatenate(out_s)),
+                "q_vec_id": pa.array(np.asarray(ids_q, np.int64)[q_col]),
+                "vec_id": pa.array(ids[top[valid]]),
+                "sim": pa.array(s[valid]),
             }
         )
 

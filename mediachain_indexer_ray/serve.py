@@ -51,6 +51,10 @@ class IndexerService:
             os.path.join(work_dir, "clusters")
         ).materialize()
         self.scorer = PairScorer(self.cfg)  # join-path mode: texts per request
+        # ThreadingHTTPServer dispatches each request on its own thread, and
+        # PairScorer's segmented shingle cache mutates on every call
+        # (_add_segment/_compact) — serialize scorer use (ADVICE r2)
+        self._scorer_lock = threading.Lock()
         self._feedback_lock = threading.Lock()
 
     # -- /status -------------------------------------------------------------
@@ -137,7 +141,8 @@ class IndexerService:
                 "text_b": texts_b,
             }
         )
-        out = self.scorer(batch).to_pandas()
+        with self._scorer_lock:
+            out = self.scorer(batch).to_pandas()
         return out[
             ["score_jaccard", "score_cosine", "score_jw", "score_lev",
              "score", "accepted"]

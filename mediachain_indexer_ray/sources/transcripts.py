@@ -30,6 +30,17 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
             "tool",
             pc.fill_null(tool, ""),
         )
+    # closure reserves "\x01" as its virtual-relay marker (stages/closure.py
+    # RELAY_MARKER): an id containing it would be misread as a relay node and
+    # silently merged/dropped — fail fast at ingest instead (ADVICE r2)
+    cid = batch.column("conv_id")
+    marked = pc.fill_null(pc.match_substring(cid, "\x01"), False)
+    if pc.any(marked).as_py():
+        example = batch.filter(marked).column("conv_id")[0].as_py()
+        raise ValueError(
+            "transcripts: conv_id contains the reserved relay marker "
+            f"'\\x01' (example: {example!r}); such ids are not supported"
+        )
     text = batch.column("text")
     bad = pc.or_kleene(pc.is_null(text), pc.equal(text, ""))
     keep = pc.fill_null(pc.invert(bad), False)

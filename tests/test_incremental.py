@@ -100,6 +100,33 @@ def test_incremental_viral_delta_matches_full_rerun(tmp_path, ray_session):
     assert set(inc["conv_id"]) == set(full["conv_id"])
 
 
+def test_incremental_join_path_matches_broadcast(split_corpus, ray_session,
+                                                 tmp_path, monkeypatch):
+    """VERDICT r2 #2: with BROADCAST_MAX_ROWS forced to 0 the delta scorer
+    must take the shuffle-join text-attach path (no driver read of the base
+    exact_dedup checkpoint) and still produce the same clusters."""
+    from mediachain_indexer_ray.stages import scoring
+
+    full_dir, base_p, delta_p, work = split_corpus
+    cfg = Config(work_dir=os.path.join(work, "w_base"))
+    dedupe_pipeline(base_p, cfg)  # cached from the earlier test
+
+    monkeypatch.setattr(scoring, "BROADCAST_MAX_ROWS", 0)
+    out = incremental_dedupe(
+        delta_p, cfg.work_dir, cfg, str(tmp_path / "w_inc_join")
+    )
+    inc = out["clusters"].to_pandas()
+
+    cfg_full = Config(work_dir=os.path.join(work, "w_full"))
+    full = dedupe_pipeline(
+        f"{full_dir}/transcripts.parquet", cfg_full
+    )["clusters"].to_pandas()
+
+    assert _partition(inc) == _partition(full)
+    assert inc["conv_id"].is_unique
+    assert set(inc["conv_id"]) == set(full["conv_id"])
+
+
 def test_incremental_invalidated_by_base_rebuild(split_corpus, ray_session, tmp_path):
     """Rebuilding the BASE work dir (same config, different data) must
     invalidate the delta checkpoints — the delta fingerprints fold in the base

@@ -52,15 +52,18 @@ def test_ann_lsh_recall(ray_session, tmp_path):
     d, n_clusters, per = 32, 20, 30
     centers = rng.standard_normal((n_clusters, d))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    vecs = np.repeat(centers, per, axis=0) + 0.04 * rng.standard_normal(
-        (n_clusters * per, d)
-    )
+    # INTERLEAVED cluster assignment (row i → cluster i % n_clusters): any
+    # query prefix leaves same-cluster members in the corpus, so recall stays
+    # meaningful at every n_queries (block assignment starved queries 0-89 of
+    # their own cluster at n_queries=100 — structurally unrecallable)
+    labels = np.arange(n_clusters * per) % n_clusters
+    vecs = centers[labels] + 0.04 * rng.standard_normal((n_clusters * per, d))
     ids = np.arange(len(vecs))
     t = pa.table(
         {
             "vec_id": pa.array(ids),
             "embedding": pa.array(list(vecs.astype(np.float64))),
-            "label": pa.array(np.repeat(np.arange(n_clusters), per)),
+            "label": pa.array(labels),
         }
     )
     pq.write_table(t, str(tmp_path / "embeddings.parquet"))
@@ -85,3 +88,15 @@ def test_ann_lsh_recall(ray_session, tmp_path):
         expect = list(cids[order])
         got = list(bf50[bf50["q_vec_id"] == qi].sort_values("rank")["vec_id"])
         assert got == expect, (qi, got, expect)
+
+    # LSH at n_queries=100 (VERDICT r2 #7): the vectorized popcount path must
+    # hold recall with a large query set, not just the contract's 5
+    nq = 100
+    bf100 = sim.ann_cosine_topk(str(tmp_path), n_queries=nq).to_pandas()
+    ls100 = sim.ann_lsh_topk(
+        str(tmp_path), n_queries=nq, n_bits=6, probe_hamming=2
+    ).to_pandas()
+    bset = set(map(tuple, bf100[["q_vec_id", "vec_id"]].values))
+    lset = set(map(tuple, ls100[["q_vec_id", "vec_id"]].values))
+    recall = len(bset & lset) / len(bset)
+    assert recall >= 0.9, recall

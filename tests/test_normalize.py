@@ -96,3 +96,26 @@ def test_turns_source_roundtrip(tmp_path, ray_session):
     write_corpus(FixtureSpec(n_base=10, viral_fanout=3), d)
     ds = _assert_transcripts(read_source("turns", f"{d}/transcripts.parquet"))
     assert ds.count() > 0
+
+
+def test_reserved_relay_marker_id_rejected():
+    """Ids containing closure's reserved relay marker '\\x01' must fail fast
+    at ingest (ADVICE r2) — they would be misread as virtual relay nodes."""
+    import numpy as np
+    import pytest
+
+    from mediachain_indexer_ray.sources.transcripts import normalize_batch
+    from mediachain_indexer_ray.stages.closure import RELAY_MARKER
+
+    bad = pa.table({
+        "conv_id": pa.array(["ok", f"evil{RELAY_MARKER}id"]),
+        "turn_idx": pa.array(np.array([0, 0], np.int32)),
+        "role": pa.array(["user", "user"]),
+        "text": pa.array(["hello", "world"]),
+        "tool": pa.array(["", ""]),
+        "ts": pa.array([0, 0], pa.timestamp("us")),
+    })
+    with pytest.raises(ValueError, match="relay marker"):
+        normalize_batch(bad)
+    good = bad.filter(pa.array([True, False]))
+    assert normalize_batch(good).num_rows == 1
