@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_revenue": Q.running_revenue,
         "event_type_pivot": Q.event_type_pivot,
         "order_price_quantiles_cont": Q.order_price_quantiles_cont,
+        "order_price_quantiles_scalable": Q.order_price_quantiles_scalable,
         "rollup_revenue": Q.rollup_revenue,
         "stratified_sample_events": Q.stratified_sample_events,
         "frequent_tokens_sketch": Q.frequent_tokens_sketch,
@@ -292,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "running_revenue": Q.RUNNING_REVENUE_SQL,
         "event_type_pivot": Q.EVENT_TYPE_PIVOT_SQL,
         "order_price_quantiles_cont": Q.ORDER_PRICE_QUANTILES_CONT_SQL,
+        "order_price_quantiles_scalable": Q.ORDER_PRICE_QUANTILES_SCALABLE_SQL,
         "rollup_revenue": Q.ROLLUP_REVENUE_SQL,
         "stratified_sample_events": Q.STRATIFIED_SAMPLE_EVENTS_SQL,
         "frequent_tokens_sketch": Q.FREQUENT_TOKENS_SKETCH_SQL,

@@ -154,6 +154,7 @@ def main_default() -> None:
             "sec": round(fl_sec, 2),
             "turns_per_sec": round(turns / fl_sec, 1),
             "n_clusters": fl["n_clusters"],
+            "stages": {k: round(v, 2) for k, v in fl["stages"].items()},
         },
     }
     ray.shutdown()

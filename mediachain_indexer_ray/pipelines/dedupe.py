@@ -80,12 +80,19 @@ def dedupe_pipeline(
     n_turns = _parquet_rows(transcripts_path)
 
     fp_in = cp.input_fingerprint(transcripts_path)
+    # 25k turns/part (not 100k): assembly's per-row cost (sort + per-turn
+    # string concat) is ~4× a plain map stage's, so 100k-row parts left a
+    # 32-CPU box 5-wide on a 470k-turn corpus (back-to-back sweep: 12.2 s at
+    # 5 parts, 4.0 s at 19, 3.3 s at 38 — diminishing past cluster width).
+    # At 12M+ turns the 2×CPU cap binds either way, so the scaling-protocol
+    # legs are unchanged; this also widens the downstream signatures stage,
+    # which inherits the conversations block layout.
     convs = cp.run(
         "conversations",
         fp_in,
         lambda: assemble(
             read_transcripts(transcripts_path), cfg,
-            num_parts=sized_parallelism(n_turns, 100_000),
+            num_parts=sized_parallelism(n_turns, 25_000),
         ),
     )
 
@@ -114,7 +121,12 @@ def dedupe_pipeline(
     if model.use_lsh:
         fp_exact = cp.input_fingerprint("exact_dedup")
         n_mixed = cp.manifest("exact_dedup")["rows"]
-        P_bands = sized_parallelism(n_mixed * cfg.num_bands, 250_000)
+        # 25k band-rows/part (not 250k): pair emission + cross-band dedup do
+        # real per-row work (salting, canonicalization, truncation counters),
+        # and 250k-row parts ran the whole chain 4-wide on a 32-CPU box —
+        # measured 16.6 s → 4.2 s on a 717k-band-row corpus by widening to
+        # cluster width. At scale the 2×CPU cap binds either way.
+        P_bands = sized_parallelism(n_mixed * cfg.num_bands, 25_000)
         # adaptive band batch: sort-shuffle width follows INPUT block count,
         # so a small rep table must fan out to cluster width here or the
         # pair/dedup chain serializes to ~ceil(n_mixed/4096) tasks

@@ -97,7 +97,8 @@ def incremental_dedupe(
     )
 
     n_base_reps = base.manifest("exact_dedup")["rows"]
-    P_bands = sized_parallelism((n_base_reps + n_delta) * cfg.num_bands, 250_000)
+    # 25k band-rows/part — same sizing rationale as pipelines/dedupe.py
+    P_bands = sized_parallelism((n_base_reps + n_delta) * cfg.num_bands, 25_000)
     from mediachain_indexer_ray.config import default_parallelism
 
     # adaptive band batch (see pipelines/dedupe.py): keeps the delta pair

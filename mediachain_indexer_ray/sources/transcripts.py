@@ -10,6 +10,7 @@ zero-copy Arrow ``map_batches``: schema drift fails fast, ``tool`` nulls become
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -32,15 +33,21 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
         )
     # closure reserves "\x01" as its virtual-relay marker (stages/closure.py
     # RELAY_MARKER): an id containing it would be misread as a relay node and
-    # silently merged/dropped — fail fast at ingest instead (ADVICE r2)
-    cid = batch.column("conv_id")
-    marked = pc.fill_null(pc.match_substring(cid, "\x01"), False)
-    if pc.any(marked).as_py():
-        example = batch.filter(marked).column("conv_id")[0].as_py()
-        raise ValueError(
-            "transcripts: conv_id contains the reserved relay marker "
-            f"'\\x01' (example: {example!r}); such ids are not supported"
-        )
+    # silently merged/dropped — fail fast at ingest instead (ADVICE r2). The
+    # happy path is ONE numpy scan of the raw id bytes; the per-row kernel
+    # runs only to report the offending id.
+    cid = batch.column("conv_id").combine_chunks()
+    bufs = cid.buffers()
+    if bufs[2] is not None:
+        off = np.frombuffer(bufs[1], np.int32)[cid.offset : cid.offset + len(cid) + 1]
+        data = np.frombuffer(bufs[2], np.uint8)[off[0] : off[-1]]
+        if bool((data == 1).any()):
+            marked = pc.fill_null(pc.match_substring(cid, "\x01"), False)
+            example = cid.filter(marked)[0].as_py()
+            raise ValueError(
+                "transcripts: conv_id contains the reserved relay marker "
+                f"'\\x01' (example: {example!r}); such ids are not supported"
+            )
     text = batch.column("text")
     bad = pc.or_kleene(pc.is_null(text), pc.equal(text, ""))
     keep = pc.fill_null(pc.invert(bad), False)

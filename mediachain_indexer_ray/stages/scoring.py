@@ -311,6 +311,10 @@ def _empty_scored() -> pa.Table:
     )
 
 
+TASK_SCORE_MAX_PAIRS = 200_000  # below this, broadcast-path scoring runs as
+                                # plain tasks on warm workers; above, the
+                                # fixed actor pool amortizes its spawns
+
 BROADCAST_MAX_ROWS = 2_000_000  # LUT ≲ ~10 GB plasma (one zero-copy object
                                 # per node); beyond this the shuffle join path
                                 # attaches texts instead
@@ -520,6 +524,31 @@ def score_pairs(
         cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover
         cluster_cpus = 8
+    if (
+        lut_ref is not None
+        and pairs_rows is not None
+        and pairs_rows <= TASK_SCORE_MAX_PAIRS
+    ):
+        # small candidate set on the broadcast path: plain TASKS on the warm
+        # worker pool instead of a fresh actor pool — per-call state is just
+        # a zero-copy plasma get + weight vector (the segmented shingle cache
+        # only serves the join path), while each actor spawn is a cold
+        # process (~0.3-0.5 s) that can dominate the whole stage at this
+        # size. The actor pool remains the scale path below.
+        cls = scorer_cls or PairScorer
+
+        def _score(b: pa.Table, _cache={}) -> pa.Table:
+            inst = _cache.get("i")
+            if inst is None:
+                inst = _cache["i"] = cls(cfg, lut_ref)
+            return inst(b)
+
+        return pairs_with_text.map_batches(
+            _score,
+            batch_format="pyarrow",
+            batch_size=cfg.pair_batch_size,
+            zero_copy_batch=True,
+        )
     # ~3/4 of the cores: all-but-one measured SLOWER on this box (15 cold
     # actor processes each ramp up and page-fault the broadcast LUT at once);
     # 3/4 keeps headroom for the executor loop and async checkpoint writes
