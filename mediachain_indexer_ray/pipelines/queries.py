@@ -1504,7 +1504,11 @@ def order_price_quantiles_cont(sf_dir: str):
         v_lo = v[np.searchsorted(cum, lo + 1)]
         v_hi = v[np.searchsorted(cum, hi + 1)]
         rows_q.append(qm)
-        rows_v.append(v_lo + (pos - lo) * (v_hi - v_lo))
+        # lerp form matches DuckDB's quantile_cont bit-for-bit:
+        # lo*(1-frac) + hi*frac (the v_lo + frac*(v_hi-v_lo) form differs in
+        # the last ULP and breaks value-hash parity)
+        frac = pos - lo
+        rows_v.append(v_lo * (1.0 - frac) + v_hi * frac)
     return pa.table(
         {"q_milli": pa.array(rows_q, pa.int64()),
          "cents": pa.array(rows_v, pa.float64())}
