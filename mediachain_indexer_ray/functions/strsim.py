@@ -37,7 +37,15 @@ def _pad_batch(arr, max_chars: int) -> tuple[np.ndarray, np.ndarray]:
 
 def jaro_winkler_batch(a_arr, b_arr, max_chars: int = 128, prefix_weight: float = 0.1) -> np.ndarray:
     """Exact Jaro-Winkler similarity for every aligned pair of two Arrow string
-    arrays. Vectorized across pairs; loops run over ≤ max_chars positions."""
+    arrays. Vectorized across pairs; loops run over ≤ max_chars positions.
+
+    Follows the de-facto public convention (rapidfuzz / jellyfish / DuckDB,
+    verified bit-for-bit against DuckDB's ``jaro_winkler_similarity``):
+    transpositions are the FLOORED half of out-of-order matches, and the
+    Winkler prefix boost applies only when jaro > 0.7. One deliberate
+    deviation: two empty strings score 1.0 (identity, s(a,a)=1) where DuckDB
+    returns 0.0 — near-dup scoring needs the identity property; callers with
+    empty-vs-empty pairs must filter them if DuckDB parity is required."""
     A, la = _pad_batch(a_arr, max_chars)
     B, lb = _pad_batch(b_arr, max_chars)
     n, L = A.shape
@@ -78,7 +86,8 @@ def jaro_winkler_batch(a_arr, b_arr, max_chars: int = 128, prefix_weight: float 
     b_seq = np.take_along_axis(B, np.where(j_order < L, j_order, 0), axis=1)
     k_idx = np.arange(L)[None, :]
     mm = k_idx < m[:, None].astype(np.int64)
-    trans = ((a_seq != b_seq) & mm).sum(axis=1).astype(np.float64) / 2.0
+    # floored half (rapidfuzz/jellyfish/DuckDB), not the exact-half variant
+    trans = (((a_seq != b_seq) & mm).sum(axis=1) // 2).astype(np.float64)
     del mj_sorted_by_i
 
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -87,14 +96,15 @@ def jaro_winkler_batch(a_arr, b_arr, max_chars: int = 128, prefix_weight: float 
     both_empty = (la == 0) & (lb == 0)
     jaro = np.where(both_empty, 1.0, jaro)
 
-    # Winkler prefix boost (common prefix up to 4)
+    # Winkler prefix boost (common prefix up to 4), gated at jaro > 0.7
     pref = np.zeros(n, np.int64)
     alive = np.ones(n, bool)
     for i in range(4):
         ok = alive & (i < la) & (i < lb) & (A[:, i] == B[:, i]) if i < L else np.zeros(n, bool)
         pref += ok
         alive = ok
-    return jaro + pref * prefix_weight * (1.0 - jaro)
+    boost = np.where(jaro > 0.7, pref * prefix_weight * (1.0 - jaro), 0.0)
+    return jaro + boost
 
 
 def levenshtein_batch(

@@ -2178,3 +2178,284 @@ SELECT doc_id, n_members FROM (
   FROM documents
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# F1 validated cross-engine: fuzzy record-linkage join on customer names.
+# The reference's dedupe_batch reranker scores candidate pairs with string
+# similarity [ref: mc_models.py — unverified]; this operator runs the SAME
+# hand-written Jaro-Winkler + banded-Levenshtein kernels the flagship scorer
+# uses, inside a blocked self-join, and its oracle recomputes both metrics
+# with DuckDB's independent implementations — a bit-for-bit cross-engine
+# kernel check riding the driver's hash compare.
+# ---------------------------------------------------------------------------
+
+def fuzzy_match_customers(sf_dir: str, jw_min_milli: int = 900):
+    """Blocked fuzzy self-join: customers whose names share a 3-char suffix
+    block, scored with Jaro-Winkler (milli) + exact Levenshtein, kept at
+    jw >= 0.9. Scale shape: one hash shuffle on the block key, per-block
+    triu pair emission (blocks are suffix-balanced; a skewed block would be
+    salted exactly like stages/blocking.py A5 — at 10^9 rows the block key
+    gains chars instead)."""
+    from mediachain_indexer_ray.functions.strsim import (
+        jaro_winkler_batch,
+        levenshtein_batch,
+    )
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def _block(b: pa.Table) -> pa.Table:
+        rev = pc.utf8_reverse(b.column("c_name"))
+        blk = pc.utf8_reverse(pc.utf8_slice_codeunits(rev, 0, 3))
+        return b.append_column("blk", blk)
+
+    keyed = ds.map_batches(_block, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("blk", "ascending"), ("c_custkey", "ascending")]
+        )
+        t = t.take(idx)
+        blk = t.column("blk").to_numpy()
+        keys = t.column("c_custkey").to_numpy()
+        names = t.column("c_name").combine_chunks()
+        n = len(blk)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = blk[1:] != blk[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        ii_all, jj_all = [], []
+        for s, e in zip(starts, ends):
+            size = e - s
+            if size < 2:
+                continue
+            ii, jj = np.triu_indices(size, 1)
+            ii_all.append(s + ii)
+            jj_all.append(s + jj)
+        if not ii_all:
+            return pa.table(
+                {
+                    "a_custkey": pa.array([], pa.int64()),
+                    "b_custkey": pa.array([], pa.int64()),
+                    "jw_milli": pa.array([], pa.int64()),
+                    "lev": pa.array([], pa.int64()),
+                }
+            )
+        ai = np.concatenate(ii_all)
+        bi = np.concatenate(jj_all)
+        a_nm = names.take(pa.array(ai))
+        b_nm = names.take(pa.array(bi))
+        jw = jaro_winkler_batch(a_nm, b_nm)
+        jw_milli = np.floor(jw * 1000 + 0.5).astype(np.int64)
+        keep = jw_milli >= jw_min_milli
+        lev = levenshtein_batch(a_nm.take(pa.array(np.flatnonzero(keep))),
+                                b_nm.take(pa.array(np.flatnonzero(keep))))
+        return pa.table(
+            {
+                "a_custkey": pa.array(keys[ai[keep]].astype(np.int64)),
+                "b_custkey": pa.array(keys[bi[keep]].astype(np.int64)),
+                "jw_milli": pa.array(jw_milli[keep]),
+                "lev": pa.array(lev.astype(np.int64)),
+            }
+        )
+
+    return grouped_partitions(keyed, "blk", _pairs, _PARTS)
+
+
+FUZZY_MATCH_CUSTOMERS_SQL = """
+WITH k AS (SELECT c_custkey, c_name, right(c_name, 3) AS blk FROM customer)
+SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+       CAST(FLOOR(jaro_winkler_similarity(a.c_name, b.c_name)*1000 + 0.5)
+            AS BIGINT) AS jw_milli,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+FROM k a JOIN k b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE FLOOR(jaro_winkler_similarity(a.c_name, b.c_name)*1000 + 0.5) >= 900
+"""
+
+
+# ---------------------------------------------------------------------------
+# correlated aggregate: orders above their customer's average price.
+# SQL shape: correlated subquery / window AVG. Ray shape: pre-aggregate the
+# per-customer mean (map_batches combiner -> small groupby), broadcast the
+# (customer -> mean) table via ray.put, then one stateless filter pass — the
+# canonical "small side broadcast, fact table streams" join (SURVEY.md J2).
+# ---------------------------------------------------------------------------
+
+def orders_above_customer_avg(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        t = pa.table({"o_custkey": b.column("o_custkey"), "cents": pa.array(cents)})
+        g = pa.TableGroupBy(t, "o_custkey", use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["o_custkey", "part_sum", "part_n"])
+
+    means = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .sum(["part_sum", "part_n"])
+    )
+    mt = pa.concat_tables(
+        [t for t in ray.get(means.to_arrow_refs()) if t.num_rows > 0]
+    ).combine_chunks()
+    cust = mt.column("o_custkey").to_numpy().astype(np.int64)
+    # integer-exact threshold: cents*n > sum  <=>  price > avg (no float div)
+    sums = mt.column("sum(part_sum)").to_numpy().astype(np.int64)
+    cnts = mt.column("sum(part_n)").to_numpy().astype(np.int64)
+    order = np.argsort(cust)
+    lut_ref = ray.put((cust[order], sums[order], cnts[order]))
+
+    def _filter(b: pa.Table) -> pa.Table:
+        ck, sm, cn = ray.get(lut_ref)
+        cents = np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        c = b.column("o_custkey").to_numpy()
+        pos = np.searchsorted(ck, c)
+        keep = cents * cn[pos] > sm[pos]
+        t = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORDERS_ABOVE_CUSTOMER_AVG_SQL = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+         SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+             OVER (PARTITION BY o_custkey) AS s,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, cents FROM w WHERE cents * n > s
+"""
+
+
+# ---------------------------------------------------------------------------
+# F3/M2 analog: regex feature extraction (the normalizers' parse step) —
+# pull the numeric payload out of the JSON-ish `props` string with ONE
+# vectorized pc.extract_regex over each batch, then pre-aggregated counts.
+# ---------------------------------------------------------------------------
+
+def extract_event_props(sf_dir: str):
+    ds = _read(sf_dir, "events", ["props", "value"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b.column("props"), r"(?P<k>\d+)")
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        cents = np.floor(b.column("value").to_numpy() * 100 + 0.5).astype(np.int64)
+        t = pa.table({"k": k, "cents": pa.array(cents)})
+        g = pa.TableGroupBy(t, "k", use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["k", "part_cents", "part_n"])
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .sum(["part_cents", "part_n"])
+    )
+    return out.rename_columns(
+        {"sum(part_cents)": "sum_value_cents", "sum(part_n)": "n"}
+    )
+
+
+EXTRACT_EVENT_PROPS_SQL = """
+SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model statistics: top-20 token bigrams across documents.
+# Ray shape: per-batch vectorized bigram construction from the token stream
+# (offset arithmetic, no row loop) + combiner pre-aggregation, then one small
+# groupby and a driver top-k — the A5 pre-aggregation discipline applied to
+# an LLM-data operator (bigram/LM stats for quality filtering).
+# ---------------------------------------------------------------------------
+
+def top_bigrams(sf_dir: str, k: int = 20):
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = toks.combine_chunks()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        offsets = flat.offsets.to_numpy()
+        words = flat.values
+        n_rows = len(offsets) - 1
+        # bigram (i, i+1) within each row: valid first positions are all
+        # token indices except each row's last token
+        counts = np.diff(offsets)
+        firsts = np.maximum(counts - 1, 0)
+        total = int(firsts.sum())
+        if total == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "part_n": pa.array([], pa.int64())}
+            )
+        cum = np.zeros(n_rows, np.int64)
+        np.cumsum(firsts[:-1], out=cum[1:])
+        pos = (
+            np.repeat(offsets[:-1], firsts)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(cum, firsts)
+        )
+        left = words.take(pa.array(pos))
+        right = words.take(pa.array(pos + 1))
+        bg = pc.binary_join_element_wise(left, right, " ")
+        g = pa.TableGroupBy(
+            pa.table({"bigram": bg}), "bigram", use_threads=False
+        ).aggregate([("bigram", "count")])
+        return pa.table(
+            {
+                "bigram": g.column("bigram"),
+                "part_n": g.column("bigram_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .sum("part_n")
+    )
+    t = pa.concat_tables(
+        [tt for tt in ray.get(agg.to_arrow_refs()) if tt.num_rows > 0]
+    ).combine_chunks()
+    n = t.column("sum(part_n)").to_numpy()
+    bg = t.column("bigram")
+    order = np.lexsort((bg.to_numpy(zero_copy_only=False), -n))[:k]
+    return pa.table(
+        {
+            "bigram": bg.take(pa.array(order)),
+            "n": pa.array(n[order].astype(np.int64)),
+        }
+    )
+
+
+TOP_BIGRAMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), bg AS (
+  SELECT ts[i] || ' ' || ts[i+1] AS bigram
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""

@@ -143,12 +143,15 @@ def _jaro_ref(s1, s2):
     m = len(sa)
     if m == 0:
         return 0.0
-    t = sum(x != y for x, y in zip(sa, sb)) / 2
+    # floored half-transpositions (rapidfuzz/jellyfish/DuckDB convention)
+    t = sum(x != y for x, y in zip(sa, sb)) // 2
     return (m / len(s1) + m / len(s2) + (m - t) / m) / 3
 
 
 def _jw_ref(s1, s2, p=0.1):
     j = _jaro_ref(s1, s2)
+    if j <= 0.7:  # Winkler boost gate (DuckDB/rapidfuzz)
+        return j
     l = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a == b:
