@@ -2260,7 +2260,20 @@ def fuzzy_match_customers(sf_dir: str, jw_min_milli: int = 900):
             }
         )
 
-    return grouped_partitions(keyed, "blk", _pairs, _PARTS)
+    out = grouped_partitions(keyed, "blk", _pairs, _PARTS)
+    # Collect to a TYPED table: Ray 2.49's to_pandas() drops the schema of a
+    # zero-row Dataset (observed: empty sort partitions emit schema-less
+    # blocks and even from_arrow(schema.empty_table()).to_pandas() loses
+    # columns), so a legitimately-empty result (e.g. sf0.001 has no shared
+    # suffix blocks) would fail the driver's schema compare. The matched-pair
+    # output is a tiny filtered list (105k rows at sf0.1); the join itself
+    # stays distributed.
+    schema = pa.schema(
+        [("a_custkey", pa.int64()), ("b_custkey", pa.int64()),
+         ("jw_milli", pa.int64()), ("lev", pa.int64())]
+    )
+    batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables([schema.empty_table(), *batches])
 
 
 FUZZY_MATCH_CUSTOMERS_SQL = """
