@@ -271,6 +271,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_documents": lambda d: docdedup.ngram_jaccard_dedup(_docs(d)),
         "dedupe_transcripts": _flagship_fixture,
         "dedupe_events_flagship": _flagship,
+        # ann_ivf_topk: second ANN scale path (IVF-Flat, k-means codebook);
+        # family already evidenced by the ann_cosine_topk oracle +
+        # ann_lsh_topk; recall pinned by tests/test_lookup.py::
+        # test_ann_ivf_recall
+        "ann_ivf_topk": lambda d: sim.ann_ivf_topk(d, n_centroids=16,
+                                                   n_probe=4),
     }
 
 

@@ -218,6 +218,125 @@ WHERE FLOOR(list_cosine_similarity(a.embedding, b.embedding) * 1e6) >= 350000
 """
 
 
+def _kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int,
+                n_iters: int = 12) -> np.ndarray:
+    """Mini k-means on a BOUNDED sample (driver-side, O(sample × c × iters) —
+    independent of corpus size; classic IVF trains coarse quantizers on a
+    sample, Jégou et al. 2011). Rows are unit-normalized so argmax-dot =
+    nearest-by-cosine. kmeans++-lite seeding: greedy farthest-point from a
+    seeded start, deterministic given (sample, seed)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    c0 = int(rng.integers(n))
+    cents = [sample[c0]]
+    d = 1.0 - sample @ sample[c0]
+    for _ in range(n_centroids - 1):
+        nxt = int(np.argmax(d))
+        cents.append(sample[nxt])
+        d = np.minimum(d, 1.0 - sample @ sample[nxt])
+    C = np.stack(cents)
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for j in range(len(C)):
+            members = sample[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ann_ivf_topk(
+    sf_dir: str, n_queries: int = 5, k: int = 10,
+    n_centroids: int = 32, n_probe: int = 4,
+    train_sample: int = 16_384, seed: int = 42,
+) -> pa.Table:
+    """IVF-Flat ANN (the second scale path next to hyperplane-LSH): a coarse
+    k-means codebook is trained on a bounded corpus sample, broadcast once,
+    and each batch scores a query ONLY against rows assigned to one of the
+    query's ``n_probe`` nearest centroids. Compute scales with list
+    selectivity (~n_probe/n_centroids of the corpus), not corpus size; the
+    codebook train is O(train_sample × n_centroids) on the driver regardless
+    of corpus rows. Exact within probed lists; recall vs brute force is
+    pinned by ``test_ann_ivf_recall``.
+
+    At 100 TB the same shape holds: the train sample is a bounded
+    ``ds.random_sample``, the codebook broadcast is a few MB, and each batch
+    does two matmuls (assign + masked score) — no shuffle anywhere before the
+    final top-k reduce."""
+    from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
+
+    ds = read_parquet_wide(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    q_ids, Q = _load_queries(sf_dir, n_queries)
+
+    corpus = ds.filter(expr=f"vec_id >= {n_queries}")
+
+    # --- train: bounded sample -> driver k-means -> broadcast codebook ------
+    # corpus size from parquet footers (O(file metadata), no execution pass —
+    # corpus.count() here would stream the whole table once just to size the
+    # sample fraction)
+    import pyarrow.parquet as pq
+
+    n_total = max(1, pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+                  - n_queries)
+    frac = min(1.0, train_sample / n_total)
+    sample_ds = corpus.random_sample(frac, seed=seed) if frac < 1.0 else corpus
+    sample = _normalize(
+        np.concatenate(
+            [_emb_matrix(b) for b in
+             sample_ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+        )
+    )
+    C = _kmeans_fit(sample, min(n_centroids, len(sample)), seed)
+
+    # per-query probed lists -> boolean LUT (n_centroids × n_q): row batches
+    # test membership with one fancy-index, no per-query loop
+    n_probe_eff = min(n_probe, len(C))
+    q_assign = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe_eff]  # (n_q, probe)
+    lut = np.zeros((len(C), len(q_ids)), bool)
+    lut[q_assign.T, np.arange(len(q_ids))[None, :]] = True
+    q_ref = ray.put((q_ids, Q, C, lut))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids_q, Qm, Cm, L = ray.get(q_ref)
+        M = _normalize(_emb_matrix(b))
+        assign = np.argmax(M @ Cm.T, axis=1)  # (batch,)
+        ok = L[assign, :]                     # (batch, n_q) candidate mask
+        empty = pa.table({"q_vec_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        rows = ok.any(axis=1)
+        if not rows.any():
+            return empty
+        Mc = M[rows]
+        ids = b.column("vec_id").to_numpy()[rows]
+        okc = ok[rows]
+        sims = Mc @ Qm.T
+        masked = np.where(okc, sims, -np.inf)
+        n_cand, n_q = len(ids), Qm.shape[0]
+        kk = min(k, n_cand)
+        if n_cand > kk:
+            top = np.argpartition(-masked, kk - 1, axis=0)[:kk]
+        else:
+            top = np.broadcast_to(np.arange(n_cand)[:, None], (n_cand, n_q))
+        s = np.take_along_axis(masked, top, axis=0)
+        valid = np.isfinite(s)
+        if not valid.any():
+            return empty
+        q_col = np.nonzero(valid)[1]
+        return pa.table(
+            {
+                "q_vec_id": pa.array(np.asarray(ids_q, np.int64)[q_col]),
+                "vec_id": pa.array(ids[top[valid]]),
+                "sim": pa.array(s[valid]),
+            }
+        )
+
+    parts = corpus.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return _topk_reduce(parts, k, n_queries)
+
+
 def ann_lsh_topk(
     sf_dir: str, n_queries: int = 5, k: int = 10,
     n_bits: int = 8, probe_hamming: int = 1, seed: int = 42,

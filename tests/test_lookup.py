@@ -100,3 +100,47 @@ def test_ann_lsh_recall(ray_session, tmp_path):
     lset = set(map(tuple, ls100[["q_vec_id", "vec_id"]].values))
     recall = len(bset & lset) / len(bset)
     assert recall >= 0.9, recall
+
+
+def test_ann_ivf_recall(ray_session, tmp_path):
+    """IVF-Flat ANN on planted clusters: the coarse k-means codebook must
+    recover cluster structure well enough that n_probe lists give high recall
+    vs brute force, at the contract's 5 queries and at 100."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mediachain_indexer_ray.pipelines import similarity as sim
+
+    rng = np.random.default_rng(11)
+    d, n_clusters, per = 32, 20, 30
+    centers = rng.standard_normal((n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(n_clusters * per) % n_clusters  # interleaved (see LSH test)
+    vecs = centers[labels] + 0.04 * rng.standard_normal((n_clusters * per, d))
+    ids = np.arange(len(vecs))
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(vecs.astype(np.float64))),
+            "label": pa.array(labels),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    bf = sim.ann_cosine_topk(str(tmp_path)).to_pandas()
+    iv = sim.ann_ivf_topk(str(tmp_path), n_centroids=24, n_probe=4).to_pandas()
+    bset = set(map(tuple, bf[["q_vec_id", "vec_id"]].values))
+    iset = set(map(tuple, iv[["q_vec_id", "vec_id"]].values))
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.9, recall
+
+    nq = 100
+    bf100 = sim.ann_cosine_topk(str(tmp_path), n_queries=nq).to_pandas()
+    iv100 = sim.ann_ivf_topk(
+        str(tmp_path), n_queries=nq, n_centroids=24, n_probe=4
+    ).to_pandas()
+    bset = set(map(tuple, bf100[["q_vec_id", "vec_id"]].values))
+    iset = set(map(tuple, iv100[["q_vec_id", "vec_id"]].values))
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.9, recall
