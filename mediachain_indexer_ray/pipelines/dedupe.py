@@ -119,8 +119,43 @@ def dedupe_pipeline(
     model = get_model(cfg.duplicate_mode)
 
     if model.use_lsh:
+        from mediachain_indexer_ray.stages.scoring import (
+            BROADCAST_MAX_ROWS,
+            build_text_lut_ref_from_reps,
+        )
+
         fp_exact = cp.input_fingerprint("exact_dedup")
         n_mixed = cp.manifest("exact_dedup")["rows"]
+        # Prefetch the scorer's broadcast LUT CONCURRENTLY with the band→pair
+        # shuffle below: the LUT depends only on reps (already plasma-backed)
+        # and its build — a parallel prep job plus driver-serial key argsort /
+        # value concat / plasma put — is a FIXED cost at any CPU count that
+        # otherwise sits serially at the head of the pairs_scored wall
+        # (measured ~30 s fixed in that stage on the 12M-turn corpus).
+        # Started only when the pairs stage is about to RUN: an invalid pairs
+        # checkpoint implies pairs_scored reruns too (downstream fingerprints
+        # fold the fresh manifest hash), while on resume nothing is wasted.
+        lut_box: dict = {}
+        scored_counters: dict = {}
+        lut_thread = None
+        if n_mixed <= BROADCAST_MAX_ROWS and not cp.valid("pairs", fp_exact):
+            import threading
+            import time as _time
+
+            def _prefetch_lut() -> None:
+                t0 = _time.time()
+                try:
+                    lut_box["ref"] = build_text_lut_ref_from_reps(reps, cfg)
+                    scored_counters["lut_prefetch_sec"] = round(
+                        _time.time() - t0, 3
+                    )
+                except BaseException as e:  # re-raised at the use site
+                    lut_box["err"] = e
+
+            lut_thread = threading.Thread(
+                target=_prefetch_lut, name="lut-prefetch", daemon=True
+            )
+            lut_thread.start()
         # 25k band-rows/part (not 250k): pair emission + cross-band dedup do
         # real per-row work (salting, canonicalization, truncation counters),
         # and 250k-row parts ran the whole chain 4-wide on a 32-CPU box —
@@ -147,16 +182,18 @@ def dedupe_pipeline(
         n_reps = cp.manifest("exact_dedup")["rows"]  # broadcast-vs-shuffle choice
 
         def _build_scored() -> ray.data.Dataset:
-            from mediachain_indexer_ray.stages.scoring import (
-                BROADCAST_MAX_ROWS,
-                build_text_lut_ref_from_reps,
-            )
-
             if n_reps <= BROADCAST_MAX_ROWS:
                 # broadcast path: prefilter + text attach FUSED into the scorer
-                # actors; the LUT is built from the plasma-backed reps (one
-                # parallel select job) and plasma-shared
-                lut_ref = build_text_lut_ref_from_reps(reps, cfg)
+                # actors; the LUT was prefetched concurrently with the pairs
+                # stage when possible (see above), else built here from the
+                # plasma-backed reps (one parallel select job), plasma-shared
+                if lut_thread is not None:
+                    lut_thread.join()
+                    if "err" in lut_box:
+                        raise lut_box["err"]
+                    lut_ref = lut_box["ref"]
+                else:
+                    lut_ref = build_text_lut_ref_from_reps(reps, cfg)
                 return score_pairs(
                     pairs, cfg, scorer_cls=model.scorer_cls, lut_ref=lut_ref,
                     pairs_rows=cp.manifest("pairs")["rows"],
@@ -183,7 +220,10 @@ def dedupe_pipeline(
                 pairs_rows=cp.manifest("pairs")["rows"],
             )
 
-        scored = cp.run("pairs_scored", fp_pairs, _build_scored)
+        # lut_prefetch_sec lands in the manifest counters (populated by the
+        # prefetch thread before _build_scored joins it)
+        scored = cp.run("pairs_scored", fp_pairs, _build_scored,
+                        counters=scored_counters)
         fp_scored = cp.input_fingerprint("exact_dedup", "pairs_scored")
 
         def _build_edges() -> ray.data.Dataset:

@@ -513,6 +513,29 @@ def score_pairs(
 ) -> ray.data.Dataset:
     from mediachain_indexer_ray.config import default_parallelism
 
+    # WIDTH GUARD: map_batches tasks are at least one input BLOCK, so a pair
+    # set that upstream emitted as few blocks (small band-row corpora produce
+    # P_bands=1 even when pair volume explodes quadratically — measured: 1500
+    # homogeneous conversations → 436k pairs in ONE block → the whole scoring
+    # stage ran on one core, 371 s instead of ~20) must be split to pool
+    # width before scoring. repartition without shuffle is a single
+    # split/coalesce pass over the (id,simhash)-narrow pair rows.
+    try:
+        cluster_cpus_pre = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover
+        cluster_cpus_pre = 8
+    if pairs_rows is not None and pairs_rows > 0:
+        target_blocks = max(
+            1, min(-(-pairs_rows // cfg.pair_batch_size), 2 * cluster_cpus_pre)
+        )
+        nb = None
+        try:
+            nb = pairs_with_text.num_blocks()
+        except Exception:
+            nb = None
+        if nb is not None and nb < target_blocks:
+            pairs_with_text = pairs_with_text.repartition(target_blocks)
+
     # fixed-size actor pool on ALL BUT ONE core: an autoscaling (1, hi) pool
     # ramps up too slowly and serializes the stage behind actor startup; the
     # input is a materialized (plasma-backed) pairs dataset, so there is no

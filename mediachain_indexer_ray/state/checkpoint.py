@@ -108,6 +108,24 @@ class CheckpointManager:
     def stage_dir(self, name: str) -> str:
         return os.path.join(self.work_dir, name)
 
+    def valid(self, name: str, fingerprint: str) -> bool:
+        """Side-effect-free peek: would ``run(name, fingerprint, ...)`` skip?
+        Lets a caller decide whether to PREFETCH work for a stage that is
+        about to run (e.g. overlap the scorer's broadcast-LUT build with the
+        pair-emission shuffle) without paying it on the resume path."""
+        mpath = os.path.join(self.stage_dir(name), MANIFEST)
+        if not os.path.exists(mpath):
+            return False
+        try:
+            with open(mpath) as f:
+                man = json.load(f)
+        except (OSError, json.JSONDecodeError):  # pragma: no cover
+            return False
+        return (
+            man.get("fingerprint") == fingerprint
+            and man.get("config_hash") == self.config_hash
+        )
+
     # -- run-or-skip ---------------------------------------------------------
     def run(
         self,
