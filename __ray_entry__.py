@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg": Q.orders_above_customer_avg,
         "extract_event_props": Q.extract_event_props,
         "top_bigrams": Q.top_bigrams,
+        "redact_events_props": Q.redact_events_props,
+        "doc_repetition": Q.doc_repetition,
         # rows-only: approximate sketch (tolerance pinned by unit test)
         "approx_distinct_users": Q.approx_distinct_users,
         # text analysis (SQL oracles)
@@ -330,4 +332,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_customer_avg": Q.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "extract_event_props": Q.EXTRACT_EVENT_PROPS_SQL,
         "top_bigrams": Q.TOP_BIGRAMS_SQL,
+        "redact_events_props": Q.REDACT_EVENTS_PROPS_SQL,
+        "doc_repetition": Q.DOC_REPETITION_SQL,
     }

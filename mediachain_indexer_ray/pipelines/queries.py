@@ -2472,3 +2472,157 @@ WITH tok AS (
 SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
 FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# PII-style regex redaction: the training-data scrub pass (emails / phone
+# numbers / ids replaced by typed placeholders before anything leaves the
+# pipeline). The synthetic corpus carries numeric ids in events.props, so the
+# numeric rule demonstrates real value rewrites while the email/phone rules
+# exercise the same kernel with zero hits. Pure per-batch map — no shuffle,
+# no state; both sides are RE2 (Arrow re2 / DuckDB re2), so the semantics
+# match token for token.
+# ---------------------------------------------------------------------------
+
+_REDACT_RULES = (
+    # (name, RE2 pattern, replacement) — applied in order
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("num", r"[0-9]+", "<NUM>"),
+)
+
+
+def redact_events_props(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def _redact(b: pa.Table) -> pa.Table:
+        txt = b.column("props")
+        cols = {"event_id": b.column("event_id")}
+        for name, pat, repl in _REDACT_RULES:
+            cols[f"n_{name}"] = pc.count_substring_regex(txt, pat).cast(
+                pa.int64()
+            )
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        cols["props_redacted"] = txt
+        return pa.table(cols)
+
+    return ds.map_batches(_redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REDACT_EVENTS_PROPS_SQL = """
+WITH s0 AS (
+  SELECT event_id, props,
+    CAST(len(regexp_extract_all(props,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+        AS n_email,
+    regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t0
+  FROM events
+), s1 AS (
+  SELECT event_id, n_email,
+    CAST(len(regexp_extract_all(t0, '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT)
+        AS n_phone,
+    regexp_replace(t0, '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS t1
+  FROM s0
+)
+SELECT event_id, n_email, n_phone,
+  CAST(len(regexp_extract_all(t1, '[0-9]+')) AS BIGINT) AS n_num,
+  regexp_replace(t1, '[0-9]+', '<NUM>', 'g') AS props_redacted
+FROM s1 ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style intra-document repetition statistics: per doc, total vs
+# DISTINCT word trigrams (Rae et al. 2021 repetition filters flag documents
+# whose duplicate-n-gram fraction is high). Embarrassingly parallel: the
+# trigram stream is built with the same offset arithmetic as top_bigrams and
+# deduped per doc with ONE in-batch Arrow groupby — every doc lives in one
+# row, so there is no shuffle and no cross-batch state at any corpus size.
+# flagged uses integer arithmetic ((n_tri - n_dist) / n_tri > 0.3) so the
+# oracle comparison is exact.
+# ---------------------------------------------------------------------------
+
+def _doc_repetition_batch(b: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_trigrams": pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+            "flagged": pa.array([], pa.bool_()),
+        }
+    )
+    toks = pc.split_pattern(b.column("text"), " ").combine_chunks()
+    if isinstance(toks, pa.ChunkedArray):  # pragma: no cover
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy()
+    words = toks.values
+    counts = np.diff(offsets)
+    firsts = np.maximum(counts - 2, 0)  # trigram start positions per row
+    total = int(firsts.sum())
+    if total == 0:
+        return empty
+    keep = firsts > 0  # docs with < 3 tokens emit no trigrams (SQL parity)
+    n_rows = len(counts)
+    cum = np.zeros(n_rows, np.int64)
+    np.cumsum(firsts[:-1], out=cum[1:])
+    pos = (
+        np.repeat(offsets[:-1], firsts)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(cum, firsts)
+    )
+    tri = pc.binary_join_element_wise(
+        words.take(pa.array(pos)),
+        words.take(pa.array(pos + 1)),
+        words.take(pa.array(pos + 2)),
+        " ",
+    )
+    row_id = np.repeat(
+        b.column("doc_id").to_numpy(), firsts
+    )
+    g = pa.TableGroupBy(
+        pa.table({"doc_id": pa.array(row_id), "g": tri}),
+        ["doc_id", "g"], use_threads=False,
+    ).aggregate([("g", "count")])
+    g2 = pa.TableGroupBy(
+        pa.table({"doc_id": g.column("doc_id")}), "doc_id",
+        use_threads=False,
+    ).aggregate([("doc_id", "count")])
+    # align distinct counts back to batch row order
+    did = b.column("doc_id").to_numpy()[keep]
+    g2_ids = g2.column("doc_id").to_numpy()
+    order = np.argsort(g2_ids)
+    lookup = np.searchsorted(g2_ids[order], did)
+    n_dist = g2.column("doc_id_count").to_numpy()[order][lookup]
+    n_tri = firsts[keep]
+    flagged = (n_tri - n_dist) * 10 > 3 * n_tri
+    return pa.table(
+        {
+            "doc_id": pa.array(did),
+            "n_trigrams": pa.array(n_tri.astype(np.int64)),
+            "n_distinct": pa.array(n_dist.astype(np.int64)),
+            "flagged": pa.array(flagged),
+        }
+    )
+
+
+def doc_repetition(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        _doc_repetition_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), tri AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       (COUNT(*) - COUNT(DISTINCT g)) * 10 > 3 * COUNT(*) AS flagged
+FROM tri GROUP BY doc_id ORDER BY doc_id
+"""

@@ -96,3 +96,55 @@ def test_multimodal_stub_pipeline(ray_session):
     a = np.array([np.asarray(f) for f in out.sort_values("media_id").feature])
     b = np.array([np.asarray(f) for f in out2.sort_values("media_id").feature])
     np.testing.assert_array_equal(a, b)
+
+
+def test_doc_repetition_kernel_edges():
+    """Short docs (<3 tokens) emit no row; repeated trigrams are counted;
+    results are independent of batch boundaries."""
+    import pyarrow as pa
+
+    from mediachain_indexer_ray.pipelines.queries import _doc_repetition_batch
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b",                  # <3 tokens: dropped
+                    "a b c a b c a b c",    # 7 trigrams, 3 distinct -> flagged
+                    "w x y z",              # 2 trigrams, 2 distinct
+                    "",                     # empty: dropped
+                ]
+            ),
+        }
+    )
+    out = _doc_repetition_batch(b).to_pydict()
+    assert out["doc_id"] == [2, 3]
+    assert out["n_trigrams"] == [7, 2]
+    assert out["n_distinct"] == [3, 2]
+    assert out["flagged"] == [True, False]
+
+    # batch-split equivalence
+    parts = pa.concat_tables(
+        [_doc_repetition_batch(b.slice(0, 2)), _doc_repetition_batch(b.slice(2))]
+    ).to_pydict()
+    assert parts == out
+
+
+def test_redact_rules_kernel():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from mediachain_indexer_ray.pipelines.queries import _REDACT_RULES
+
+    txt = pa.array(
+        ["mail me at a.b+c@exa-mple.org or 555-123-4567 ref 42", "no pii here"]
+    )
+    counts = {}
+    for name, pat, repl in _REDACT_RULES:
+        counts[name] = pc.count_substring_regex(txt, pat).to_pylist()
+        txt = pc.replace_substring_regex(txt, pat, repl)
+    assert counts["email"] == [1, 0]
+    assert counts["phone"] == [1, 0]
+    assert counts["num"] == [1, 0]  # the trailing 42; placeholders unharmed
+    assert txt.to_pylist()[0] == "mail me at <EMAIL> or <PHONE> ref <NUM>"
