@@ -41,13 +41,21 @@ def assemble_partition(t: pa.Table) -> pa.Table:
     # makes re-indexing a seen doc a no-op; here a re-ingested corpus delivers
     # duplicate (conv_id, turn_idx) rows — keep the first (they are sorted, so
     # "first" is deterministic: lowest ts).
-    conv = t.column("conv_id").to_pandas().to_numpy()
-    tix = t.column("turn_idx").to_numpy()
-    keep = np.ones(len(conv), bool)
-    if len(conv) > 1:
-        keep[1:] = (conv[1:] != conv[:-1]) | (tix[1:] != tix[:-1])
-    if not keep.all():
-        t = t.filter(pa.array(keep))
+    n = t.num_rows
+    if n > 1:
+        # adjacent-duplicate test in Arrow C++ (zero-copy slices) — a pandas
+        # object-array round trip here is a Python richcompare per row
+        conv = t.column("conv_id").combine_chunks()
+        tix = t.column("turn_idx").combine_chunks()
+        dup = pc.and_(
+            pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+            pc.equal(tix.slice(1), tix.slice(0, n - 1)),
+        )
+        dup_np = dup.to_numpy(zero_copy_only=False)
+        if dup_np.any():
+            keep = np.ones(n, bool)
+            keep[1:] = ~dup_np
+            t = t.filter(pa.array(keep))
     gb = pa.TableGroupBy(t, "conv_id", use_threads=False)
     agg = gb.aggregate(
         [

@@ -113,3 +113,57 @@ def test_broadcast_and_join_scoring_identical(ray_session):
     assert (out_b.loc[common]["accepted"] == out_j.loc[common]["accepted"]).all()
     # real signal in the fixture: some accepts and some rejects
     assert out_j["accepted"].any() and (~out_j["accepted"]).any()
+
+
+def test_score_pairs_widens_single_block_input(ray_session):
+    """A pair set that upstream emitted as ONE block must not score on one
+    core: score_pairs repartitions to pool width before mapping (the 436k-
+    pairs-in-one-block regression ran the whole stage serially)."""
+    import ray.data
+
+    from mediachain_indexer_ray.stages.scoring import score_pairs
+
+    cfg = Config()
+    ids, texts = _mk_corpus(n=40)
+    batch = _pairs_batch(ids, texts, cfg, with_texts=False)
+    # LUT over the corpus (sorted-table layout, as build_text_lut_ref makes)
+    key = hash_strings(pa.array(ids), seed=0x1D)
+    order = np.argsort(key)
+    off, val = shingle_set_table(
+        pa.array(texts), cfg.shingle_k, cfg.scorer_sample_mod
+    )
+    counts = np.diff(off)[order]
+    starts = off[:-1][order]
+    bank_off = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(counts, out=bank_off[1:])
+    within = np.arange(int(bank_off[-1]), dtype=np.int64) - np.repeat(
+        bank_off[:-1], counts
+    )
+    lut = pa.table(
+        {
+            "key": pa.array(key[order]),
+            "feature_text": pa.array([texts[i] for i in order]),
+            "scorer_shingles": pa.ListArray.from_arrays(
+                pa.array(bank_off, pa.int64()),
+                pa.array(val[np.repeat(starts, counts) + within]),
+            ),
+        }
+    )
+    one_block = ray.data.from_arrow(batch)  # a single input block
+    assert one_block.num_blocks() == 1
+    scored = score_pairs(
+        one_block, cfg, lut_ref=ray.put(lut), pairs_rows=batch.num_rows
+    ).materialize()
+    # width guard: target blocks = min(ceil(rows/pair_batch_size), 2*cpus);
+    # with a tiny pair_batch_size the single block must have been split
+    small = Config(pair_batch_size=16)
+    scored_small = score_pairs(
+        ray.data.from_arrow(batch), small,
+        lut_ref=ray.put(lut), pairs_rows=batch.num_rows,
+    ).materialize()
+    assert scored_small.num_blocks() > 1
+    # identical results regardless of the split
+    a = scored.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    b = scored_small.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert (a["accepted"] == b["accepted"]).all()
+    np.testing.assert_allclose(a["score"], b["score"], atol=1e-6)
