@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # test_ann_ivf_recall
         "ann_ivf_topk": lambda d: sim.ann_ivf_topk(d, n_centroids=16,
                                                    n_probe=4),
+        # kmeans_embeddings: iterative distributed Lloyd refinement;
+        # deterministic given seed, recovery pinned by tests/test_lookup.py
+        "kmeans_embeddings": lambda d: sim.kmeans_embeddings(d, k=8),
     }
 
 

@@ -421,3 +421,96 @@ def ann_lsh_topk(
     parts = corpus.map_batches(_partial, batch_format="pyarrow",
                                zero_copy_batch=True)
     return _topk_reduce(parts, k, n_queries)
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, n_iters: int = 6,
+    train_sample: int = 16_384, seed: int = 42,
+) -> pa.Table:
+    """Distributed Lloyd's k-means over the embedding column (spherical:
+    rows unit-normalized, assignment by max dot product) — the iterative-
+    refinement operator class (cluster-then-curate / semantic dedup prep).
+
+    Shape at 100 TB: the init codebook comes from a BOUNDED sample
+    (kmeans++-lite, same as ann_ivf_topk); each Lloyd iteration broadcasts
+    the k×d centroid matrix with ``ray.put`` and streams the corpus once —
+    every batch emits only its k×(d+1) partial (per-centroid vector sum +
+    count), so the driver-side reduce is O(n_blocks × k × d) floats,
+    independent of corpus rows (k and d are operator constants; contrast
+    the Misra-Gries AggregateFn where m is large). The final labeling pass
+    is a pure per-batch map. No shuffle anywhere.
+    """
+    from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
+
+    ds = read_parquet_wide(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+    import pyarrow.parquet as pq
+
+    n_total = max(1, pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    frac = min(1.0, train_sample / n_total)
+    sample_ds = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    sample = _normalize(
+        np.concatenate(
+            [_emb_matrix(b) for b in
+             sample_ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+        )
+    )
+    C = _kmeans_fit(sample, min(k, len(sample)), seed, n_iters=2)
+
+    d = C.shape[1]
+    for _ in range(n_iters):
+        c_ref = ray.put(C)
+
+        def _partial(b: pa.Table) -> pa.Table:
+            Cm = ray.get(c_ref)
+            M = _normalize(_emb_matrix(b))
+            assign = np.argmax(M @ Cm.T, axis=1)
+            kk = Cm.shape[0]
+            cnt = np.bincount(assign, minlength=kk).astype(np.int64)
+            sums = np.zeros((kk, Cm.shape[1]))
+            np.add.at(sums, assign, M)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(kk, dtype=np.int64)),
+                    "n": pa.array(cnt),
+                    "vsum": pa.array(list(sums)),
+                }
+            )
+
+        parts = ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        # driver reduce of k×(d+1)-sized partials — bounded by k×d per block
+        cnt = np.zeros(C.shape[0], np.int64)
+        sums = np.zeros_like(C)
+        for t in ray.get(parts.to_arrow_refs()):
+            if t.num_rows == 0:
+                continue
+            cnt += np.asarray(t.column("n").to_numpy())
+            v = np.asarray(t.column("vsum").combine_chunks().flatten())
+            sums += v.reshape(-1, d)
+        live = cnt > 0
+        C = np.where(live[:, None], sums / np.maximum(cnt, 1)[:, None], C)
+        C = _normalize(C)
+
+    c_ref = ray.put(C)
+
+    def _label(b: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        M = _normalize(_emb_matrix(b))
+        sims = M @ Cm.T
+        assign = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "cluster": pa.array(assign.astype(np.int64)),
+                "sim_milli": pa.array(
+                    np.floor(sims[np.arange(len(assign)), assign] * 1000)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    # labeling stays a streaming Dataset — at 100 TB the assignment is
+    # consumed by the next stage (or written partitioned), never gathered
+    return ds.map_batches(_label, batch_format="pyarrow", zero_copy_batch=True)

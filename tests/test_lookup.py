@@ -144,3 +144,42 @@ def test_ann_ivf_recall(ray_session, tmp_path):
     iset = set(map(tuple, iv100[["q_vec_id", "vec_id"]].values))
     recall = len(bset & iset) / len(bset)
     assert recall >= 0.9, recall
+
+
+def test_kmeans_embeddings_recovers_planted_clusters(ray_session, tmp_path):
+    """Distributed Lloyd's on well-separated planted clusters must recover
+    the partition exactly (label-permutation invariant)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mediachain_indexer_ray.pipelines import similarity as sim
+
+    rng = np.random.default_rng(7)
+    d, n_clusters, per = 16, 6, 50
+    centers = rng.standard_normal((n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(n_clusters * per) % n_clusters
+    vecs = centers[labels] + 0.02 * rng.standard_normal((n_clusters * per, d))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs))),
+            "embedding": pa.array(list(vecs.astype(np.float64))),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    out = sim.kmeans_embeddings(str(tmp_path), k=n_clusters).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(vecs)
+    # every planted cluster maps to exactly one predicted cluster and back
+    import collections
+    fwd = collections.defaultdict(set)
+    for lab, pred in zip(labels, out["cluster"]):
+        fwd[lab].add(pred)
+    assert all(len(v) == 1 for v in fwd.values()), fwd
+    assert len({next(iter(v)) for v in fwd.values()}) == n_clusters
+    # determinism: second run identical
+    out2 = sim.kmeans_embeddings(str(tmp_path), k=n_clusters).to_pandas()
+    out2 = out2.sort_values("vec_id").reset_index(drop=True)
+    assert (out["cluster"] == out2["cluster"]).all()
