@@ -215,6 +215,89 @@ SCALING_CPUS = tuple(
 )
 
 
+def main_hwcalib_child(cpus: int) -> None:
+    """Raw-hardware calibration child (no engine code): measures this box's own
+    N→4N ceiling with two pure-numpy kernels — matmul (compute-bound, mostly
+    cache-resident) and stream (big-array add, DRAM-bandwidth-bound). The
+    flagship's hot stages span both regimes (hash/shingle/shuffle stages are
+    bandwidth-heavy), so the kernel pair brackets the best scaling ANY software
+    could show on this VM at the moment of measurement."""
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR")
+
+    @ray.remote(num_cpus=1)
+    def mm(seed: int) -> float:
+        rng = np.random.default_rng(seed)
+        a = rng.standard_normal((1024, 1024))
+        b = rng.standard_normal((1024, 1024))
+        s = 0.0
+        for _ in range(6):
+            s += float((a @ b)[0, 0])
+        return s
+
+    @ray.remote(num_cpus=1)
+    def stream(seed: int) -> float:
+        a = np.full(20_000_000, float(seed))  # ~160 MB live, far beyond L3
+        b = np.full(20_000_000, 2.0)
+        s = 0.0
+        for _ in range(6):
+            a += b
+            s += float(a[0])
+        return s
+
+    t_warm = time.time()
+    while time.time() - t_warm < 4.0:  # clock-ramp + worker warm-up, untimed
+        ray.get([mm.remote(i) for i in range(cpus)])
+    out = {"cpus": cpus}
+    for name, fn in (("matmul", mm), ("stream", stream)):
+        t0 = time.time()
+        ray.get([fn.remote(1000 + i) for i in range(64)])
+        out[f"{name}_sec"] = round(time.time() - t0, 2)
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def main_hwcalib() -> None:
+    """Interleaved fresh-process raw-kernel runs at SCALING_CPUS; appends the
+    measured hardware ceiling to BENCH/BASELINE.md next to the job runs."""
+    lo, hi = SCALING_CPUS
+    factor = hi / lo
+    reps = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    rows = []
+    for _ in range(reps):
+        pair = {}
+        for cpus in (lo, hi):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child-hwcalib", str(cpus)],
+                capture_output=True, text=True, timeout=600,
+            )
+            pair[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        rows.append(pair)
+        print(json.dumps(pair), file=sys.stderr)
+    effs = {
+        k: [round(p[lo][f"{k}_sec"] / (p[hi][f"{k}_sec"] * factor), 3)
+            for p in rows]
+        for k in ("matmul", "stream")
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## hardware calibration {time.strftime('%Y-%m-%d %H:%M:%S')} "
+            f"({lo} -> {hi} cpus, fresh interleaved processes)\n\n"
+            f"| kernel | per-pair efficiency (max attainable by ANY software) |\n"
+            f"|---|---|\n"
+            f"| matmul (compute-bound) | {effs['matmul']} |\n"
+            f"| stream (DRAM-bound) | {effs['stream']} |\n\n"
+            f"raw walls: {json.dumps(rows)}\n"
+        )
+    print(json.dumps({"metric": "raw-kernel hw scaling ceiling",
+                      "efficiencies": effs}))
+
+
 def _run_child(cpus: int, corpus: str) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
     t0 = time.time()
@@ -311,5 +394,10 @@ if __name__ == "__main__":
     elif "--child-flagship" in sys.argv:
         i = sys.argv.index("--child-flagship")
         main_child(sys.argv[i + 1], sys.argv[i + 2])
+    elif "--hw-calib" in sys.argv:
+        main_hwcalib()
+    elif "--child-hwcalib" in sys.argv:
+        i = sys.argv.index("--child-hwcalib")
+        main_hwcalib_child(int(sys.argv[i + 1]))
     else:
         main_default()

