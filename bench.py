@@ -15,6 +15,11 @@ N and 4N CPUs ($GRAFT_SCALING_CPUS, default "4,16") over the same corpus (the
 sandbox evidence protocol for the N→4N cluster criterion, BASELINE.md) and
 records results in BENCH/BASELINE.md. The scaling corpus is ≥13M turns so
 compute dominates the per-stage constants.
+
+``--hw-calib``: fresh-process raw-numpy kernels (compute-bound matmul +
+DRAM-bound stream) at the same CPU pair — measures the HOST's attainable
+scaling ceiling with zero engine code, appended to BENCH/BASELINE.md so every
+job-level efficiency number can be read against the hardware's own bracket.
 """
 
 from __future__ import annotations
