@@ -283,6 +283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kmeans_embeddings: iterative distributed Lloyd refinement;
         # deterministic given seed, recovery pinned by tests/test_lookup.py
         "kmeans_embeddings": lambda d: sim.kmeans_embeddings(d, k=8),
+        # embedding_near_dup_lsh: hyperplane-LSH blocked near-dup — the scale
+        # path for embedding_near_dup's label blocker; precision/recall
+        # pinned vs brute force in tests/test_lookup.py
+        "embedding_near_dup_lsh": sim.embedding_near_dup_lsh,
     }
 
 

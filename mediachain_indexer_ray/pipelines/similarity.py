@@ -218,6 +218,112 @@ WHERE FLOOR(list_cosine_similarity(a.embedding, b.embedding) * 1e6) >= 350000
 """
 
 
+def embedding_near_dup_lsh(
+    sf_dir: str, threshold: float = 0.35,
+    n_bits: int = 4, n_bands: int = 24, seed: int = 42,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs blocked by hyperplane LSH — the SCALE
+    path ``embedding_near_dup``'s label blocker stands in for (no label
+    column needed, works on any corpus).
+
+    Banding (Charikar 2002 sign-random-projection × the classic LSH OR-
+    construction): each vector gets ``n_bands`` independent ``n_bits``-bit
+    sign codes; candidate pairs collide on (band, code); every candidate is
+    verified with the EXACT cosine before emission (precision 1.0), and
+    cross-band duplicate pairs are removed with one hash-partitioned dedupe.
+
+    Recall math: a pair at cosine t agrees per hyperplane with
+    p = 1 - arccos(t)/π, so recall ≥ 1 - (1 - p^n_bits)^n_bands at the
+    threshold (worse pairs don't matter). Defaults (4 bits × 24 bands) give
+    ≥ 0.975 at t = 0.35; RAISE n_bits (and cut n_bands) as the threshold
+    rises — tighter thresholds make codes agree more, which is what keeps
+    buckets small at scale. Costs, explicitly: the band expansion shuffles
+    each embedding n_bands times (the standard LSH space/recall trade); a
+    bucket holds ~n/2^n_bits of a band at this toy bit-width, so production
+    thresholds (≥ 0.9) should run 12-16 bits where buckets are tiny. The
+    in-bucket verify is all-pairs within a bucket only — never global.
+    """
+    from mediachain_indexer_ray.functions.hashing import splitmix64
+    from mediachain_indexer_ray.stages.partition import grouped_partitions
+    from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
+
+    ds = read_parquet_wide(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    thr_micro = int(threshold * 1e6)
+    bits = np.uint32(1) << np.arange(n_bits, dtype=np.uint32)
+
+    def _expand(b: pa.Table) -> pa.Table:
+        M = _normalize(_emb_matrix(b))
+        n, d = M.shape
+        # deterministic hyperplanes: same seed in every task = same blocks
+        H = np.random.default_rng(seed).standard_normal((d, n_bands * n_bits))
+        sign = (M @ H) > 0.0
+        codes = (sign.reshape(n, n_bands, n_bits).astype(np.uint32) * bits
+                 ).sum(axis=2, dtype=np.uint32)
+        bkey = (np.arange(n_bands, dtype=np.uint32)[None, :] << np.uint32(n_bits)
+                ) | codes
+        rep = b.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands)))
+        return rep.append_column("bkey", pa.array(bkey.reshape(-1)))
+
+    expanded = ds.map_batches(_expand, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[("bkey", "ascending"),
+                                            ("vec_id", "ascending")])
+        t = t.take(idx)
+        keys = t.column("bkey").to_numpy()
+        ids = t.column("vec_id").to_numpy()
+        M = _normalize(_emb_matrix(t))
+        first = np.ones(len(keys), bool)
+        first[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(keys))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub = M[s:e]
+            sims = sub @ sub.T
+            ii, jj = np.triu_indices(e - s, 1)
+            hit = np.floor(sims[ii, jj] * 1e6) >= thr_micro
+            out_a.append(ids[s + ii[hit]])
+            out_b.append(ids[s + jj[hit]])
+        if not out_a:
+            return pa.table({"a_vec_id": pa.array([], pa.int64()),
+                             "b_vec_id": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        bb = np.concatenate(out_b)
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)  # canonical a < b
+        return pa.table({"a_vec_id": pa.array(lo), "b_vec_id": pa.array(hi)})
+
+    pairs = grouped_partitions(expanded, "bkey", _pairs)
+
+    def _add_pk(b: pa.Table) -> pa.Table:
+        a = b.column("a_vec_id").to_numpy().astype(np.uint64)
+        bb = b.column("b_vec_id").to_numpy().astype(np.uint64)
+        pk = splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ bb)
+        return b.append_column("pk", pa.array(pk))
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[("a_vec_id", "ascending"),
+                                            ("b_vec_id", "ascending")])
+        t = t.take(idx).drop_columns(["pk"])
+        a = t.column("a_vec_id").to_numpy()
+        bb = t.column("b_vec_id").to_numpy()
+        keep = np.ones(len(a), bool)
+        keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        return t.filter(pa.array(keep))
+
+    withpk = pairs.map_batches(_add_pk, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return grouped_partitions(withpk, "pk", _dedup)
+
+
 def _kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int,
                 n_iters: int = 12) -> np.ndarray:
     """Mini k-means on a BOUNDED sample (driver-side, O(sample × c × iters) —

@@ -183,3 +183,36 @@ def test_kmeans_embeddings_recovers_planted_clusters(ray_session, tmp_path):
     out2 = sim.kmeans_embeddings(str(tmp_path), k=n_clusters).to_pandas()
     out2 = out2.sort_values("vec_id").reset_index(drop=True)
     assert (out["cluster"] == out2["cluster"]).all()
+
+
+def test_embedding_near_dup_lsh_recall_and_precision(ray_session):
+    """LSH-blocked near-dup vs numpy brute force on the real sf0.001 table:
+    every emitted pair must be a true pair (exact in-bucket verify =>
+    precision 1.0) and recall at the 4-bit x 24-band default must be >= 0.9
+    (analytic floor 0.975 at the 0.35 threshold)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mediachain_indexer_ray.pipelines import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    M = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    ii, jj = np.triu_indices(len(ids), 1)
+    hit = np.floor(sims[ii, jj] * 1e6) >= 350000
+    truth = {(min(a, b), max(a, b)) for a, b in zip(ids[ii[hit]], ids[jj[hit]])}
+    assert truth, "fixture must contain true near-dup pairs"
+
+    got_df = sim.embedding_near_dup_lsh(sf).to_pandas()
+    got = set(zip(got_df["a_vec_id"], got_df["b_vec_id"]))
+    assert len(got) == len(got_df), "cross-band duplicates must be removed"
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9 ({len(truth)} true pairs)"
+
+    # deterministic: same seed, same hyperplanes, same output
+    again_df = sim.embedding_near_dup_lsh(sf).to_pandas()
+    assert set(zip(again_df["a_vec_id"], again_df["b_vec_id"])) == got
