@@ -167,19 +167,19 @@ def dedupe_pipeline(
         # pair/dedup chain serializes to ~ceil(n_mixed/4096) tasks
         band_bs = max(64, min(cfg.batch_size_rows,
                               -(-n_mixed // default_parallelism())))
-        pairs = cp.run(
-            "pairs",
-            fp_exact,
-            lambda: dedup_pairs(
-                emit_pairs(emit_bands(reps, cfg, band_bs), cfg,
-                           num_parts=P_bands),
-                cfg,
-                num_parts=P_bands,
-            ),
-        )
+        n_reps = n_mixed  # broadcast-vs-shuffle choice (exact_dedup manifest)
 
-        fp_pairs = cp.input_fingerprint("exact_dedup", "pairs")
-        n_reps = cp.manifest("exact_dedup")["rows"]  # broadcast-vs-shuffle choice
+        def _run_pairs() -> ray.data.Dataset:
+            return cp.run(
+                "pairs",
+                fp_exact,
+                lambda: dedup_pairs(
+                    emit_pairs(emit_bands(reps, cfg, band_bs), cfg,
+                               num_parts=P_bands),
+                    cfg,
+                    num_parts=P_bands,
+                ),
+            )
 
         def _build_scored() -> ray.data.Dataset:
             if n_reps <= BROADCAST_MAX_ROWS:
@@ -221,9 +221,20 @@ def dedupe_pipeline(
             )
 
         # lut_prefetch_sec lands in the manifest counters (populated by the
-        # prefetch thread before _build_scored joins it)
-        scored = cp.run("pairs_scored", fp_pairs, _build_scored,
-                        counters=scored_counters)
+        # prefetch thread before _build_scored joins it). The finally joins
+        # the prefetch thread and drops the driver-side LUT handle even when
+        # the pairs stage raises or _build_scored is skipped — otherwise the
+        # prefetched ray.put ObjectRef stays pinned in plasma for the rest of
+        # the run (ADVICE r3).
+        try:
+            pairs = _run_pairs()
+            fp_pairs = cp.input_fingerprint("exact_dedup", "pairs")
+            scored = cp.run("pairs_scored", fp_pairs, _build_scored,
+                            counters=scored_counters)
+        finally:
+            if lut_thread is not None:
+                lut_thread.join()
+            lut_box.pop("ref", None)
         fp_scored = cp.input_fingerprint("exact_dedup", "pairs_scored")
 
         def _build_edges() -> ray.data.Dataset:

@@ -37,6 +37,17 @@ def _isin_sorted(h: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
     return sorted_keys[pos] == h
 
 
+def _typed_pandas(ds: ray.data.Dataset, cols: list[str]) -> pd.DataFrame:
+    """``ds.to_pandas()`` that survives the Ray 2.49 zero-row case, where an
+    all-empty filtered Dataset can come back without its column schema (the
+    bug documented at fuzzy_match_customers): reindex onto the expected
+    columns so downstream ``df[col]`` never KeyErrors (ADVICE r3)."""
+    df = ds.to_pandas()
+    if df.empty and list(df.columns) != cols:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    return df[cols]
+
+
 def _labeled_subset(ds: ray.data.Dataset, keys: set[tuple[str, str]]) -> pd.DataFrame:
     """Stream `ds` (columns a,b,...) and keep only rows whose (a,b) is labeled.
 
@@ -56,8 +67,10 @@ def _labeled_subset(ds: ray.data.Dataset, keys: set[tuple[str, str]]) -> pd.Data
                        b.column("b").combine_chunks())
         return b.filter(pa.array(_isin_sorted(h, ks)))
 
-    return ds.map_batches(_f, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
+    return _typed_pandas(
+        ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"],
+    )
 
 
 def _id_subset(ds: ray.data.Dataset, col: str, ids: set[str], cols: list[str]) -> pd.DataFrame:
@@ -73,9 +86,12 @@ def _id_subset(ds: ray.data.Dataset, col: str, ids: set[str], cols: list[str]) -
         h = hash_strings(b.column(col).combine_chunks())
         return b.filter(pa.array(_isin_sorted(h, s)))
 
-    return ds.select_columns(cols).map_batches(
-        _f, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    return _typed_pandas(
+        ds.select_columns(cols).map_batches(
+            _f, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        cols,
+    )
 
 
 def eligible_label_pairs(

@@ -2362,6 +2362,10 @@ def extract_event_props(sf_dir: str):
         k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
         cents = np.floor(b.column("value").to_numpy() * 100 + 0.5).astype(np.int64)
         t = pa.table({"k": k, "cents": pa.array(cents)})
+        # drop non-matching rows (null k) — mirrors the oracle's
+        # regexp_matches filter, which otherwise CRASHes on CAST('') at any
+        # digit-less props value instead of comparing (ADVICE r3)
+        t = t.filter(pc.is_valid(t.column("k")))
         g = pa.TableGroupBy(t, "k", use_threads=False).aggregate(
             [("cents", "sum"), ("cents", "count")]
         )
@@ -2382,7 +2386,9 @@ SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
        CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
            AS sum_value_cents,
        CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY 1
+FROM events
+WHERE regexp_matches(props, '[0-9]+')
+GROUP BY 1
 """
 
 

@@ -44,9 +44,20 @@ def assemble_partition(t: pa.Table) -> pa.Table:
     n = t.num_rows
     if n > 1:
         # adjacent-duplicate test in Arrow C++ (zero-copy slices) — a pandas
-        # object-array round trip here is a Python richcompare per row
-        conv = t.column("conv_id").combine_chunks()
-        tix = t.column("turn_idx").combine_chunks()
+        # object-array round trip here is a Python richcompare per row.
+        # pc.equal propagates nulls (null == null -> null), which would (a)
+        # make the boolean invert below blow up on an object array and (b)
+        # silently KEEP adjacent null-key duplicates; coalesce the key columns
+        # to sentinels first so null keys compare equal to each other and
+        # unequal to every real key (ADVICE r3).
+        conv = pc.fill_null(
+            t.column("conv_id").combine_chunks().cast(pa.large_string()),
+            "\x00<null-conv>",
+        )
+        tix = pc.fill_null(
+            t.column("turn_idx").combine_chunks().cast(pa.int64()),
+            np.iinfo(np.int64).min,
+        )
         dup = pc.and_(
             pc.equal(conv.slice(1), conv.slice(0, n - 1)),
             pc.equal(tix.slice(1), tix.slice(0, n - 1)),

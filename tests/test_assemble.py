@@ -81,3 +81,30 @@ def test_jsonl_ingest_matches_parquet(ray_session, tmp_path):
     # are truncated by the round-trip)
     for col in ("conv_id", "n_turns", "doc_text", "norm_text"):
         assert (a[col] == b[col]).all(), col
+
+
+def test_null_key_adjacent_duplicates_deduped():
+    """Null conv_id/turn_idx keys: adjacent duplicate rows with null keys must
+    be deduped (null == null for the re-ingest check) and the Arrow path must
+    not crash on the nullable boolean invert (ADVICE r3)."""
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", None, None, "c2"], pa.string()),
+            "turn_idx": pa.array([0, 0, None, None, 1], pa.int32()),
+            "role": pa.array(["u"] * 5, pa.string()),
+            "text": pa.array(["a", "a", "x", "x", "b"], pa.string()),
+            "tool": pa.array([""] * 5, pa.string()),
+            "ts": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    from mediachain_indexer_ray.stages.assemble import assemble_partition
+
+    out = assemble_partition(t)
+    convs = out.column("conv_id").to_pylist()
+    texts = dict(zip(convs, out.column("doc_text").to_pylist()))
+    # c1's duplicate (conv_id, turn_idx) pair collapses to one turn; the two
+    # null-keyed rows likewise collapse (they compare equal post-coalesce)
+    assert out.num_rows == 3
+    assert texts["c1"] == "a"
+    assert texts["c2"] == "b"
+    assert texts[None] == "x"
