@@ -103,3 +103,100 @@ def mg_merge(
     k1: np.ndarray, c1: np.ndarray, k2: np.ndarray, c2: np.ndarray, m: int
 ) -> tuple[np.ndarray, np.ndarray]:
     return mg_summary(np.concatenate([k1, k2]), np.concatenate([c1, c2]), m)
+
+
+# ---------------------------------------------------------------------------
+# KLL rank/quantile sketch (Karnin, Lang, Liberty 2016, arXiv:1603.05346 —
+# public algorithm). Mergeable with O(k log(n/k)) space and O(1/k)-ish rank
+# error, closing the cardinality caveat on the exact value-histogram
+# quantile operators (pipelines/queries.py order_price_quantiles_cont):
+# driver/accumulator state never depends on |distinct values|.
+# ---------------------------------------------------------------------------
+
+
+class KLLSketch:
+    """Levelled compactor sketch: items at level ``h`` carry weight ``2**h``.
+
+    A level exceeding its capacity (``k`` at the top, shrinking by ``C**depth``
+    below, floor 2) is sorted and every other item — random offset — is
+    promoted one level up, halving the item count while preserving TOTAL
+    weight exactly (an odd leftover stays at its level), so ``total_weight()``
+    always equals the true item count. Batched numpy updates; merge is
+    level-wise concat + the same compaction, hence associative in
+    distribution and safe under Ray's AggregateFn tree reduce.
+    """
+
+    __slots__ = ("k", "levels", "_rng")
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int = 512, seed: int = 0xA5C3):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._rng = np.random.RandomState(seed)
+
+    def _cap(self, h: int, n_levels: int) -> int:
+        return max(2, int(np.ceil(self.k * self.C ** (n_levels - 1 - h))))
+
+    def update_many(self, vals: np.ndarray) -> "KLLSketch":
+        vals = np.asarray(vals, np.float64)
+        vals = vals[~np.isnan(vals)]
+        if len(vals):
+            self.levels[0] = np.concatenate([self.levels[0], vals])
+            self._compress()
+        return self
+
+    def _compress(self) -> None:
+        changed = True
+        while changed:
+            changed = False
+            for h in range(len(self.levels)):
+                if len(self.levels[h]) > self._cap(h, len(self.levels)):
+                    self._compact(h)
+                    changed = True
+                    break
+
+    def _compact(self, h: int) -> None:
+        lv = np.sort(self.levels[h], kind="stable")
+        if len(lv) & 1:  # odd leftover keeps its level + weight (unbiased end)
+            if self._rng.randint(2):
+                keep, lv = lv[-1:], lv[:-1]
+            else:
+                keep, lv = lv[:1], lv[1:]
+        else:
+            keep = lv[:0]
+        promoted = lv[int(self._rng.randint(2))::2]
+        self.levels[h] = keep
+        if h + 1 == len(self.levels):
+            self.levels.append(np.empty(0, np.float64))
+        self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        for h, lv in enumerate(other.levels):
+            if h >= len(self.levels):
+                self.levels.append(lv.copy())
+            elif len(lv):
+                self.levels[h] = np.concatenate([self.levels[h], lv])
+        self._compress()
+        return self
+
+    def total_weight(self) -> int:
+        return int(sum(len(lv) << h for h, lv in enumerate(self.levels)))
+
+    def quantiles(self, qs) -> list[float]:
+        """quantile_disc-convention values (1-based rank ceil(q*W))."""
+        vals = np.concatenate(self.levels)
+        if not len(vals):
+            return [float("nan") for _ in qs]
+        wts = np.concatenate(
+            [np.full(len(lv), 1 << h, np.int64)
+             for h, lv in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        w = int(cum[-1])
+        out = []
+        for q in qs:
+            rank = max(1, int(np.ceil(float(q) * w)))
+            out.append(float(vals[min(np.searchsorted(cum, rank), len(vals) - 1)]))
+        return out

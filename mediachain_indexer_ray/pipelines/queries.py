@@ -1471,6 +1471,10 @@ def order_price_quantiles_cont(sf_dir: str):
     """percentile_cont variant — same distinct-value histogram machinery and
     the same CARDINALITY BOUND caveat as :func:`order_price_quantiles`:
     O(|distinct cents|) driver collect, safe for bounded money domains only.
+    For unbounded-cardinality float columns use
+    :func:`order_price_quantiles_scalable` (exact, three streaming passes) or
+    :func:`order_price_quantiles_sketch` (one pass, mergeable KLL, ±1
+    rank-percentile gate in tests/test_sketches.py).
     """
     ds = _read(sf_dir, "orders", ["o_totalprice"])
 
@@ -1522,6 +1526,54 @@ UNION ALL SELECT 500, quantile_cont(cents, 0.50) FROM c
 UNION ALL SELECT 900, quantile_cont(cents, 0.90) FROM c
 UNION ALL SELECT 990, quantile_cont(cents, 0.99) FROM c
 """
+
+
+def order_price_quantiles_sketch(sf_dir: str):
+    """Approximate ``quantile_disc`` in ONE streaming pass via a mergeable KLL
+    rank sketch (:class:`~mediachain_indexer_ray.functions.sketches.KLLSketch`
+    — Karnin/Lang/Liberty 2016): the generic high-cardinality-float path that
+    closes the caveat documented on :func:`order_price_quantiles_cont` /
+    :func:`order_price_quantiles`. Accumulator and driver state are
+    O(k log(n/k)) ~ a few KB regardless of row count or value cardinality —
+    vs the scalable-exact variant's three passes, this is what a 100-TB
+    profile stage runs when ±1 rank-percentile is acceptable.
+
+    Rows-only driver entry (randomized compaction ⇒ no value-exact SQL
+    oracle); the error bound is pinned by
+    tests/test_sketches.py::test_kll_rank_error_bound and the operator is
+    compared to the exact oracle within rank tolerance in
+    tests/test_sketches.py::test_order_price_quantiles_sketch_rank_close.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.sketches import KLLSketch
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def _acc(s: KLLSketch, b: pa.Table) -> KLLSketch:
+        return s.update_many(
+            np.floor(b.column("o_totalprice").to_numpy() * 100 + 0.5)
+        )
+
+    sk = ds.aggregate(
+        AggregateFn(
+            init=lambda _: KLLSketch(k=512),
+            accumulate_block=_acc,
+            merge=lambda a, b: a.merge(b),
+            name="kll",
+        )
+    )["kll"]
+    if sk.total_weight() == 0:
+        return pa.table(
+            {"q_milli": pa.array([], pa.int64()), "cents": pa.array([], pa.int64())}
+        )
+    qv = sk.quantiles([qm / 1000.0 for qm in QUANTILES_MILLI])
+    return pa.table(
+        {
+            "q_milli": pa.array(list(QUANTILES_MILLI), pa.int64()),
+            "cents": pa.array([int(v) for v in qv], pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

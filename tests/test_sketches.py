@@ -95,3 +95,74 @@ def test_frequent_tokens_sketch_matches_exact_topk():
     want = con.execute(FREQUENT_TOKENS_SKETCH_SQL).fetchdf()
     assert got["token"].tolist() == want["token"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# KLL rank sketch (VERDICT r3 next #8)
+# ---------------------------------------------------------------------------
+
+def _true_rank_err(vals: np.ndarray, q: float, got: float) -> float:
+    """|rank(got)/n - q| using the <= count (quantile_disc convention)."""
+    n = len(vals)
+    return abs(np.count_nonzero(vals <= got) / n - q)
+
+
+def test_kll_rank_error_bound():
+    """High-cardinality lognormal floats, batched updates + a 16-way tree
+    merge: every queried quantile lands within 1 rank-percentile (the
+    VERDICT r3 #8 gate), with k=512 typically within 0.3."""
+    from mediachain_indexer_ray.functions.sketches import KLLSketch
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(3.0, 1.5, 400_000)  # ~all-distinct float column
+    parts = np.array_split(vals, 16)
+    sketches = []
+    for i, p in enumerate(parts):
+        sk = KLLSketch(k=512, seed=1000 + i)
+        for chunk in np.array_split(p, 5):  # batched updates per "block"
+            sk.update_many(chunk)
+        sketches.append(sk)
+    while len(sketches) > 1:  # tree merge, as Ray's AggregateFn reduces
+        sketches = [
+            a.merge(b) for a, b in zip(sketches[::2], sketches[1::2])
+        ] + ([sketches[-1]] if len(sketches) & 1 else [])
+    sk = sketches[0]
+    assert sk.total_weight() == len(vals)  # compaction is weight-exact
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    got = sk.quantiles(qs)
+    for q, g in zip(qs, got):
+        assert _true_rank_err(vals, q, g) <= 0.01, (q, g)
+
+
+def test_kll_empty_and_nan():
+    from mediachain_indexer_ray.functions.sketches import KLLSketch
+
+    sk = KLLSketch(k=64)
+    assert sk.total_weight() == 0
+    assert np.isnan(sk.quantiles([0.5])[0])
+    sk.update_many(np.array([np.nan, 1.0, np.nan, 2.0]))
+    assert sk.total_weight() == 2
+    assert sk.quantiles([1.0])[0] == 2.0
+
+
+def test_order_price_quantiles_sketch_rank_close(ray_session):
+    """The operator's output is within 1 rank-percentile of the exact
+    distribution of floor(o_totalprice*100+0.5) on the driver testdata."""
+    import pyarrow.parquet as pq
+
+    from mediachain_indexer_ray.pipelines.queries import (
+        QUANTILES_MILLI,
+        order_price_quantiles_sketch,
+    )
+
+    out = order_price_quantiles_sketch(SF)
+    exact = np.floor(
+        pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])
+        .column("o_totalprice")
+        .to_numpy()
+        * 100
+        + 0.5
+    )
+    assert out.column("q_milli").to_pylist() == list(QUANTILES_MILLI)
+    for qm, g in zip(QUANTILES_MILLI, out.column("cents").to_pylist()):
+        assert _true_rank_err(exact, qm / 1000.0, g) <= 0.01, (qm, g)
