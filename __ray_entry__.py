@@ -170,6 +170,14 @@ def _dedupe_eval(sf_dir: str):
     )
 
 
+def _search_index(sf_dir: str):
+    """Posting-list index build (cached per corpus) + BM25 top-k served from
+    the index — value-exact vs BM25_SEARCH_SQL (VERDICT r3 #7)."""
+    from mediachain_indexer_ray.pipelines.textindex import search_index_query
+
+    return search_index_query(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _flagship("/root/testdata/sf0.001")
@@ -232,14 +240,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_orders": Q.asof_events_orders,
         "rolling_event_counts": Q.rolling_event_counts,
         "range_join_events_orders": Q.range_join_events_orders,
-        "text_search": Q.text_search,
+        # search_index: posting-list inverted index (build + BM25 top-k) —
+        # value-exact against BM25_SEARCH_SQL, replacing text_search in the
+        # head (rotation r4 per VERDICT r3 #7; text_search keeps bm25_search
+        # as its in-head sibling and its r03 rows+hash pass, code unchanged)
+        "search_index": _search_index,
         "user_event_lag": Q.user_event_lag,
         "order_status_median": Q.order_status_median,
         "top_event_type_per_user": Q.top_event_type_per_user,
         "monthly_distinct_users": Q.monthly_distinct_users,
         "running_revenue": Q.running_revenue,
         "event_type_pivot": Q.event_type_pivot,
-        "order_price_quantiles_cont": Q.order_price_quantiles_cont,
+        # order_price_quantiles_sketch: one-pass mergeable KLL (rows-only;
+        # error-bound-gated in tests) — replaces order_price_quantiles_cont
+        # in the head (quantile family keeps order_price_quantiles +
+        # _scalable as oracle-checked in-head siblings; _cont passed r03
+        # rows+hash, code unchanged)
+        "order_price_quantiles_sketch": Q.order_price_quantiles_sketch,
         "order_price_quantiles_scalable": Q.order_price_quantiles_scalable,
         "rollup_revenue": Q.rollup_revenue,
         "stratified_sample_events": Q.stratified_sample_events,
@@ -285,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aliases (entry() smoke + dedupe_eval's F1-gated fixture run), and
         # media_features_stub (the byte-histogram seam default, seam-tested).
         "events_by_type": Q.events_by_type,
+        "text_search": Q.text_search,
+        "order_price_quantiles_cont": Q.order_price_quantiles_cont,
         "top_orders": Q.top_orders,
         "sample_events": Q.sample_events,
         "distinct_users": Q.distinct_users,
@@ -307,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
     from mediachain_indexer_ray.pipelines import similarity as sim
 
     return {
+        "search_index": Q.BM25_SEARCH_SQL,
         "events_by_type": Q.EVENTS_BY_TYPE_SQL,
         "assemble_events": Q.ASSEMBLE_EVENTS_SQL,
         "filter_project_lineitem": Q.FILTER_PROJECT_LINEITEM_SQL,

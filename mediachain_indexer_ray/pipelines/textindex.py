@@ -1,0 +1,329 @@
+"""Token-partitioned inverted index (posting lists) + index-backed search.
+
+The reference serves ``/search`` from a live Elasticsearch index built at
+ingest (``[ref: mc_web.py /search, mc_ingest ES bulk index — unverified]``,
+SURVEY.md J4/X4). This module is the Ray-Data analog: ``build_text_index``
+tokenizes the corpus ONCE and writes Lucene-shaped posting lists
+``(token, doc_id, tf, dl)`` as parquet hive-partitioned by
+``bucket = hash(token) % n_buckets`` — so a query touches only its terms'
+bucket directories — plus a one-row ``stats.json`` (n_docs, avgdl).
+``search_index`` then scores BM25 (or distinct-term-count relevance) over the
+pruned postings without ever scanning the corpus.
+
+Scale notes (100 TB):
+  - the build is one ``map_batches`` tokenize + one hash shuffle on ``bucket``
+    (grouped_partitions) that also token-sorts each bucket, so query-time
+    parquet row-group pruning on ``token`` min/max stats works;
+  - per-doc lengths ride IN the posting rows (Lucene norms style) — query
+    scoring needs no doc-side join;
+  - df(term) is NOT materialized: a query must read all postings of its terms
+    anyway, so df = len(postings) falls out of a tiny groupby on the pruned
+    read;
+  - doc-length sentinel rows (token="") are bucketed by doc_id hash (no skew)
+    and sort FIRST in every token-sorted bucket, so the one stats pass after
+    the build prunes to the leading row groups.
+
+BM25 scoring is float-op-for-float-op identical to
+:func:`~mediachain_indexer_ray.pipelines.queries.bm25_search` (same
+tokenizer, same idf/tf/denominator expressions, per-doc summation in term
+order via ``np.add.reduceat`` after an (id, term_idx) sort — absent terms
+contribute exact 0.0 there, which is additively exact), so ``search_index``
+shares ``BM25_SEARCH_SQL`` as its value-exact oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from mediachain_indexer_ray.functions.hashing import hash_strings
+from mediachain_indexer_ray.stages.partition import grouped_partitions
+
+TOKEN_PATTERN = "[^a-z]+"  # bm25_search / text family tokenizer
+STATS_FILE = "stats.json"
+
+
+def _doc_lengths(ok: np.ndarray, off: np.ndarray, n_rows: int) -> np.ndarray:
+    """Non-empty-token count per list row (shared with bm25_search's _tok:
+    reduceat with the empty-segment fix)."""
+    if not len(ok):
+        return np.zeros(n_rows, np.int64)
+    dl = np.add.reduceat(np.append(ok, False), off[:-1])[:n_rows].astype(np.int64)
+    dl[np.diff(off) == 0] = 0
+    return dl
+
+
+def _postings_batch(
+    b: pa.Table, id_col: str, text_col: str, pattern: str, n_buckets: int
+) -> pa.Table:
+    """(token, id, tf, dl, bucket) rows for one batch, plus one sentinel
+    row per doc (token="", tf=0) carrying dl for corpus stats."""
+    text = b.column(text_col).combine_chunks().cast(pa.string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    off = np.asarray(toks.offsets.to_numpy()).astype(np.int64)
+    ok = pc.fill_null(pc.not_equal(flat, ""), False).to_numpy(zero_copy_only=False)
+    ok = ok.astype(bool)
+    n = b.num_rows
+    dl = _doc_lengths(ok, off, n)
+
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    flat_ok = flat.filter(pa.array(ok)) if not ok.all() else flat
+    doc_ok = doc_of[ok] if not ok.all() else doc_of
+    # per-(doc, token) tf — Arrow C++ hash groupby, no Python rows
+    g = (
+        pa.table({"d": pa.array(doc_ok), "token": flat_ok})
+        .group_by(["d", "token"], use_threads=False)
+        .aggregate([("token", "count")])
+    )
+    d_idx = g.column("d").to_numpy()
+    tokens = g.column("token").combine_chunks()
+    ids = b.column(id_col).combine_chunks()
+    post = pa.table(
+        {
+            "token": tokens,
+            id_col: ids.take(pa.array(d_idx)),
+            "tf": g.column("token_count").combine_chunks().cast(pa.int64()),
+            "dl": pa.array(dl[d_idx]),
+            "bucket": pa.array(
+                (hash_strings(tokens) % np.uint64(n_buckets)).astype(np.int32)
+            ),
+        }
+    )
+    sent = pa.table(
+        {
+            "token": pa.array([""] * n, pa.string()),
+            id_col: ids,
+            "tf": pa.array(np.zeros(n, np.int64)),
+            "dl": pa.array(dl),
+            "bucket": pa.array(
+                (hash_strings(ids.cast(pa.string())) % np.uint64(n_buckets)).astype(
+                    np.int32
+                )
+            ),
+        }
+    )
+    return pa.concat_tables([post, sent])
+
+
+def _written_id_type(index_dir: str, id_col: str) -> str:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    f0 = sorted(
+        glob.glob(os.path.join(index_dir, "postings", "bucket=*", "*.parquet"))
+    )[0]
+    return str(pq.read_schema(f0).field(id_col).type)
+
+
+def build_text_index(
+    docs: ray.data.Dataset,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    pattern: str = TOKEN_PATTERN,
+) -> dict:
+    """Tokenize once, shuffle postings by token bucket (token-sorted within
+    each bucket), write hive-partitioned parquet + stats.json. Returns the
+    corpus stats. Idempotent: an existing stats.json short-circuits."""
+    spath = os.path.join(index_dir, STATS_FILE)
+    if os.path.exists(spath):
+        with open(spath) as f:
+            return json.load(f)
+
+    post = docs.map_batches(
+        lambda t: _postings_batch(t, id_col, text_col, pattern, n_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    parts = grouped_partitions(
+        post,
+        "bucket",
+        lambda t: t.sort_by([("token", "ascending"), (id_col, "ascending")]),
+        num_parts=n_buckets,
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    parts.write_parquet(
+        os.path.join(index_dir, "postings"), partition_cols=["bucket"]
+    )
+
+    # corpus stats from the sentinel rows — one pruned pass (token="" sorts
+    # first in every token-sorted bucket, so only leading row groups load)
+    from ray.data.aggregate import Count, Sum
+
+    sent = ray.data.read_parquet(
+        os.path.join(index_dir, "postings"),
+        columns=["dl"],
+        filter=(pc.field("token") == ""),
+    )
+    agg = sent.aggregate(Count(), Sum("dl"))
+    n_docs = int(agg["count()"])
+    total = int(agg["sum(dl)"] or 0)
+    stats = {
+        "n_docs": n_docs,
+        "total_len": total,
+        "avgdl": (total / n_docs) if n_docs else 1.0,
+        "n_buckets": n_buckets,
+        "id_col": id_col,
+        "id_type": _written_id_type(index_dir, id_col),
+        "pattern": pattern,
+    }
+    tmp = spath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, spath)  # atomic: readers see a complete index or none
+    return stats
+
+
+def search_index(
+    index_dir: str,
+    terms: list[str],
+    k: int = 25,
+    *,
+    scoring: str = "bm25",
+) -> ray.data.Dataset:
+    """Top-k over the posting lists only — no corpus scan. ``scoring``:
+    "bm25" → (id, score_milli), bit-equal to bm25_search/BM25_SEARCH_SQL;
+    "term_count" → (id, relevance = #distinct query terms present), the
+    serving /search semantics."""
+    from mediachain_indexer_ray.pipelines.queries import BM25_B, BM25_K1
+
+    with open(os.path.join(index_dir, STATS_FILE)) as f:
+        stats = json.load(f)
+    id_col, n_buckets = stats["id_col"], int(stats["n_buckets"])
+    terms = [t for t in dict.fromkeys(terms) if t]  # dedup, keep order
+    id_type = pa.type_for_alias(stats.get("id_type", "string"))
+    empty = pa.table(
+        {
+            id_col: pa.array([], id_type),
+            ("score_milli" if scoring == "bm25" else "relevance"): pa.array(
+                [], pa.int64()
+            ),
+        }
+    )
+    if not terms:
+        return ray.data.from_arrow(empty)
+
+    # NB: array-form modulo — a np.uint64 SCALAR % python int promotes to
+    # float64 and corrupts the bucket id
+    buckets = sorted(
+        set(
+            (hash_strings(pa.array(terms, pa.string())) % np.uint64(n_buckets))
+            .astype(np.int64)
+            .tolist()
+        )
+    )
+    import glob
+
+    paths = [
+        f
+        for bkt in buckets
+        for f in sorted(
+            glob.glob(
+                os.path.join(index_dir, "postings", f"bucket={bkt}", "*.parquet")
+            )
+        )
+    ]
+    if not paths:
+        return ray.data.from_arrow(empty)
+    post = ray.data.read_parquet(
+        paths,
+        columns=["token", id_col, "tf", "dl"],
+        filter=pc.field("token").isin(terms),
+    )
+
+    # df per term = posting-list length (the lists are being read anyway)
+    dft = post.groupby("token").count().take_all()
+    df_by_term = {r["token"]: r["count()"] for r in dft}
+    df = np.array([df_by_term.get(t, 0) for t in terms], np.float64)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    box = ray.put((terms, idf, avgdl))
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        terms_l, idf_v, avg = ray.get(box)
+        j = pc.index_in(
+            t.column("token"), value_set=pa.array(terms_l, pa.string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        if scoring == "bm25":
+            tf = t.column("tf").to_numpy()
+            dl = t.column("dl").to_numpy()
+            # identical float expressions to bm25_search._score
+            denom = tf + (BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avg)))
+            c = idf_v[j] * (tf * (BM25_K1 + 1.0)) / denom
+        else:
+            c = np.ones(len(j), np.float64)
+        return pa.table(
+            {id_col: t.column(id_col), "j": pa.array(j), "contrib": pa.array(c)}
+        )
+
+    contrib = post.map_batches(_contrib, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _doc_scores(t: pa.Table) -> pa.Table:
+        # per-doc sum in term-idx order (reduceat is sequential) — matches
+        # bm25_search's np.sum(axis=1) over the per-term matrix bit-for-bit
+        t = t.sort_by([(id_col, "ascending"), ("j", "ascending")])
+        ids = t.column(id_col).combine_chunks()
+        c = t.column("contrib").to_numpy()
+        n = len(c)
+        if not n:
+            return pa.table(
+                {
+                    id_col: ids.slice(0, 0),
+                    (
+                        "score_milli" if scoring == "bm25" else "relevance"
+                    ): pa.array([], pa.int64()),
+                }
+            )
+        first = np.ones(n, bool)
+        if n > 1:
+            neq = pc.invert(pc.equal(ids.slice(1), ids.slice(0, n - 1)))
+            first[1:] = neq.to_numpy(zero_copy_only=False).astype(bool)
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(c, starts)
+        if scoring == "bm25":
+            milli = np.floor(sums * 1000 + 0.5).astype(np.int64)
+            keep = milli > 0
+            return pa.table(
+                {
+                    id_col: ids.take(pa.array(starts[keep])),
+                    "score_milli": pa.array(milli[keep]),
+                }
+            )
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(starts)),
+                "relevance": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    score_col = "score_milli" if scoring == "bm25" else "relevance"
+    scored = grouped_partitions(contrib, id_col, _doc_scores)
+    return scored.sort([score_col, id_col], descending=[True, False]).limit(k)
+
+
+def search_index_query(sf_dir: str, k: int = 25):
+    """Driver entry: build (cached per corpus) + search SEARCH_TERMS — same
+    output and SQL oracle as bm25_search, served from the index."""
+    import hashlib
+
+    from mediachain_indexer_ray.pipelines.queries import SEARCH_TERMS, _read
+
+    tag = hashlib.sha1(f"{sf_dir}:textindex_v1".encode()).hexdigest()[:8]
+    index_dir = f"/tmp/mcray_textindex_{tag}"
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    build_text_index(docs, index_dir)
+    return search_index(index_dir, list(SEARCH_TERMS), k=k)
