@@ -91,7 +91,13 @@ def dedupe_pipeline(
         "conversations",
         fp_in,
         lambda: assemble(
-            read_transcripts(transcripts_path), cfg,
+            # `tool` never reaches assembly's output — prune it at the read so
+            # it doesn't ride shuffle #1 (the full-corpus conv_id exchange)
+            read_transcripts(
+                transcripts_path,
+                columns=["conv_id", "turn_idx", "role", "text", "ts"],
+            ),
+            cfg,
             num_parts=sized_parallelism(n_turns, 25_000),
         ),
     )

@@ -68,7 +68,13 @@ def incremental_dedupe(
     convs = cp.run(
         "delta_conversations",
         fp_in,
-        lambda: assemble(read_transcripts(delta_transcripts_path), cfg),
+        lambda: assemble(
+            read_transcripts(
+                delta_transcripts_path,
+                columns=["conv_id", "turn_idx", "role", "text", "ts"],
+            ),
+            cfg,
+        ),
     )
     fp_convs = cp.input_fingerprint("delta_conversations")
     delta_sigs = cp.run("delta_signatures", fp_convs, lambda: signatures(convs, cfg))

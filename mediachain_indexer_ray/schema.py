@@ -28,7 +28,8 @@ CONVERSATIONS = pa.schema(
         pa.field("conv_id", pa.string()),
         pa.field("n_turns", pa.int32()),
         pa.field("doc_text", pa.large_string()),  # turns joined with \x1e, raw text
-        pa.field("norm_text", pa.large_string()),  # normalized (lower/ws) — features only
+        # (normalized text is DERIVED where consumed — stages.assemble
+        #  normalize_text — not stored: it doubled checkpoint/shuffle bytes)
         pa.field("roles", pa.list_(pa.string())),
         pa.field("first_ts", pa.timestamp("us")),
         pa.field("last_ts", pa.timestamp("us")),

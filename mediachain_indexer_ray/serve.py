@@ -58,8 +58,25 @@ class IndexerService:
         from mediachain_indexer_ray.pipelines.textindex import build_text_index
 
         self.index_dir = os.path.join(work_dir, "text_index")
+
+        def _with_norm(b):
+            import pyarrow as _pa
+
+            from mediachain_indexer_ray.stages.assemble import normalize_text
+
+            return _pa.table(
+                {
+                    "conv_id": b.column("conv_id"),
+                    "norm_text": normalize_text(b.column("doc_text").combine_chunks()),
+                }
+            )
+
         build_text_index(
-            self.conversations,
+            # normalized text is derived lazily (conversations store only
+            # doc_text); the index build consumes this map streaming
+            self.conversations.map_batches(
+                _with_norm, batch_format="pyarrow", zero_copy_batch=True
+            ),
             self.index_dir,
             id_col="conv_id",
             text_col="norm_text",

@@ -23,14 +23,20 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     from mediachain_indexer_ray.functions.threads import pin_arrow_threads
 
     pin_arrow_threads()  # worker-side: Ray parallelizes across batches
-    batch = S.validate(batch, S.TRANSCRIPTS, where="transcripts")
-    tool = batch.column("tool")
-    if tool.null_count:
-        batch = batch.set_column(
-            batch.schema.get_field_index("tool"),
-            "tool",
-            pc.fill_null(tool, ""),
-        )
+    # Validate against the REQUESTED subset of the canonical schema: a pruned
+    # read (e.g. the flagship never uses `tool`) still gets type checking and
+    # the hygiene filters below, it just doesn't pay to move unused columns
+    # through shuffle #1 (prune at the read — SURVEY.md §4).
+    sub = pa.schema([f for f in S.TRANSCRIPTS if f.name in batch.schema.names])
+    batch = S.validate(batch, sub, where="transcripts")
+    if "tool" in batch.schema.names:
+        tool = batch.column("tool")
+        if tool.null_count:
+            batch = batch.set_column(
+                batch.schema.get_field_index("tool"),
+                "tool",
+                pc.fill_null(tool, ""),
+            )
     # closure reserves "\x01" as its virtual-relay marker (stages/closure.py
     # RELAY_MARKER): an id containing it would be misread as a relay node and
     # silently merged/dropped — fail fast at ingest instead (ADVICE r2). The
@@ -54,7 +60,19 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     bad_ids = pc.or_kleene(pc.is_null(batch.column("conv_id")),
                            pc.is_null(batch.column("turn_idx")))
     keep = pc.and_(keep, pc.invert(pc.fill_null(bad_ids, True)))
-    return batch.filter(keep)
+    batch = batch.filter(keep)
+    # Dictionary-encode the low-cardinality enum columns so the conv_id
+    # assembly shuffle moves int32 codes + a tiny per-chunk dictionary instead
+    # of one string per turn (VERDICT r3 #3). Arrow sort/take/concat and Ray's
+    # hash shuffle all carry dictionary arrays; consumers that need plain
+    # strings (the groupby list-aggregate in assembly) decode post-shuffle.
+    for enum_col in ("role", "tool"):
+        if enum_col in batch.schema.names:
+            i = batch.schema.get_field_index(enum_col)
+            batch = batch.set_column(
+                i, enum_col, pc.dictionary_encode(batch.column(enum_col))
+            )
+    return batch
 
 
 def read_transcripts(path: str, *, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -92,7 +110,9 @@ def read_transcripts(path: str, *, columns: list[str] | None = None) -> ray.data
         columns=columns or list(S.TRANSCRIPTS.names),
         override_num_blocks=blocks,
     )
-    if columns is None or set(columns) == set(S.TRANSCRIPTS.names):
+    if columns is None or {"conv_id", "turn_idx", "text"} <= set(columns):
+        # hygiene + validation apply to any read that carries the core
+        # columns; pruned reads validate against their subset schema
         ds = ds.map_batches(normalize_batch, batch_format="pyarrow", zero_copy_batch=True)
     return ds
 

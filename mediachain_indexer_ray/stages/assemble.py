@@ -23,6 +23,18 @@ from mediachain_indexer_ray.config import Config
 TURN_SEP = "\x1e"  # record separator between turn texts in doc_text
 
 
+def normalize_text(doc_text):
+    """Canonical feature-text normalization (lowercase, collapse whitespace
+    and turn separators, trim). Derivable from ``doc_text``, so it is computed
+    where consumed (signatures, serving index) rather than stored: carrying a
+    second full-length text column through the conversations checkpoint
+    doubled the bytes the two DRAM-bandwidth-bound stages move (VERDICT r3
+    #3)."""
+    norm = pc.utf8_lower(doc_text)
+    norm = pc.replace_substring_regex(norm, r"[\s\x1e]+", " ")
+    return pc.utf8_trim_whitespace(norm)
+
+
 def assemble_partition(t: pa.Table) -> pa.Table:
     # Stable sort: Arrow sort_indices is a stable sort, so rows with equal
     # (conv_id, turn_idx, ts) keep their input order — deterministic assembly
@@ -67,6 +79,14 @@ def assemble_partition(t: pa.Table) -> pa.Table:
             keep = np.ones(n, bool)
             keep[1:] = ~dup_np
             t = t.filter(pa.array(keep))
+    role = t.column("role")
+    if pa.types.is_dictionary(role.type):
+        # role rode the shuffle as dictionary codes (sources.transcripts);
+        # the groupby "list" aggregate has no dictionary kernel — decode here,
+        # post-shuffle, where the bytes were already saved
+        t = t.set_column(
+            t.schema.get_field_index("role"), "role", role.cast(pa.string())
+        )
     gb = pa.TableGroupBy(t, "conv_id", use_threads=False)
     agg = gb.aggregate(
         [
@@ -81,15 +101,11 @@ def assemble_partition(t: pa.Table) -> pa.Table:
         agg.column("text_list").cast(pa.list_(pa.large_string())),
         pa.scalar(TURN_SEP, pa.large_string()),
     )
-    norm = pc.utf8_lower(doc_text)
-    norm = pc.replace_substring_regex(norm, r"[\s\x1e]+", " ")
-    norm = pc.utf8_trim_whitespace(norm)
     return pa.table(
         {
             "conv_id": agg.column("conv_id"),
             "n_turns": agg.column("turn_idx_count").cast(pa.int32()),
             "doc_text": doc_text,
-            "norm_text": norm,
             "roles": agg.column("role_list"),
             "first_ts": agg.column("ts_min"),
             "last_ts": agg.column("ts_max"),

@@ -26,9 +26,15 @@ def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     from mediachain_indexer_ray.functions.threads import pin_arrow_threads
 
     pin_arrow_threads()  # worker-side: Ray parallelizes across batches
+    from mediachain_indexer_ray.stages.assemble import normalize_text
+
     conv_id = batch.column("conv_id")
     doc_text = batch.column("doc_text")
-    norm = as_array(batch.column("norm_text"))
+    # normalization is DERIVED here (one vectorized pass over text this stage
+    # already holds) instead of carried as a second full-length column from
+    # assembly — halves the bytes through the conversations→signatures
+    # boundary and both checkpoints (VERDICT r3 #3)
+    norm = as_array(normalize_text(as_array(doc_text)))
 
     # exact-content digest over the RAW assembled text (M5): per-turn equality
     digest = content_digest(as_array(doc_text))
@@ -88,6 +94,10 @@ def compute_signatures_batch(batch: pa.Table, cfg: Config) -> pa.Table:
 
 
 def signatures(ds: ray.data.Dataset, cfg: Config) -> ray.data.Dataset:
+    # prune at the stage boundary: roles/timestamps never enter the signature
+    # compute, so they don't ride its blocks either
+    if {"conv_id", "doc_text"} < set(ds.schema().names):
+        ds = ds.select_columns(["conv_id", "doc_text"])
     return ds.map_batches(
         compute_signatures_batch,
         fn_kwargs={"cfg": cfg},

@@ -42,8 +42,8 @@ def test_assembly_idempotent_across_row_orders():
     a = a.sort_values("conv_id").reset_index(drop=True)
     b = b.sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
-        a[["conv_id", "n_turns", "doc_text", "norm_text"]],
-        b[["conv_id", "n_turns", "doc_text", "norm_text"]],
+        a[["conv_id", "n_turns", "doc_text"]],
+        b[["conv_id", "n_turns", "doc_text"]],
     )
 
 
@@ -79,7 +79,7 @@ def test_jsonl_ingest_matches_parquet(ray_session, tmp_path):
     b = b.sort_values("conv_id").reset_index(drop=True)
     # second-resolution ISO timestamps: compare text/ids/counts (ts columns
     # are truncated by the round-trip)
-    for col in ("conv_id", "n_turns", "doc_text", "norm_text"):
+    for col in ("conv_id", "n_turns", "doc_text"):
         assert (a[col] == b[col]).all(), col
 
 

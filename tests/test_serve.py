@@ -42,13 +42,19 @@ def test_status(server):
 
 def test_search(server):
     base, out, cfg = server
+    import re
+
+    def _norm(s: str) -> str:  # same canon as stages.assemble.normalize_text
+        return re.sub(r"[\s\x1e]+", " ", s.lower()).strip()
+
     convs = out["conversations"].to_pandas()
-    # a word that actually occurs in the corpus
-    word = convs["norm_text"].iloc[0].split()[2]
+    # a word that actually occurs in the corpus (normalized text is derived
+    # from doc_text now — lowercase + whitespace/turn-separator collapse)
+    word = _norm(convs["doc_text"].iloc[0]).split()[2]
     res = _get(f"{base}/search?q={word}&k=5")
     assert 1 <= len(res["hits"]) <= 5
     assert all(h["relevance"] >= 1 for h in res["hits"])
-    hit_text = convs.set_index("conv_id").loc[res["hits"][0]["conv_id"], "norm_text"]
+    hit_text = _norm(convs.set_index("conv_id").loc[res["hits"][0]["conv_id"], "doc_text"])
     assert word in hit_text
 
 
