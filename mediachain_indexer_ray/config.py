@@ -20,7 +20,7 @@ class Config:
     seed: int = 42
     # bumped on breaking checkpoint-schema changes so stale checkpoints from
     # older engine versions are rebuilt, not reused (folds into content_hash)
-    engine_schema_version: int = 4
+    engine_schema_version: int = 5
 
     # ---- model selection (SURVEY.md X1: reference duplicate_mode) ----------
     duplicate_mode: str = "baseline_ng"   # "baseline" | "baseline_ng"

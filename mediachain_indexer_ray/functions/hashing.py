@@ -151,3 +151,35 @@ def hash_strings(strings, seed: int = 0) -> np.ndarray:
     if seed:
         h = splitmix64(h ^ U64(seed))
     return h
+
+
+CID_SEED = 0x1D  # the one seed of the conversation-id hash family: scorer
+# LUT keys, candidate-pair endpoints, closure node ids and the singleton
+# anti-filter all share it, so id-hashes computed in one stage probe another
+# stage's tables directly.
+
+
+def cid64(ids) -> np.ndarray:
+    """Canonical 63-BIT conversation-id hash — the fixed-width node identity
+    carried through the band→pair→closure shuffle chain instead of the
+    conv_id string (VERDICT r3 #3: those stages are DRAM-bandwidth-bound and
+    strings are 3-6× the bytes). Bit 63 is RESERVED: closure's virtual relay
+    nodes set it, so every relay id sorts above every real id and the
+    component minimum (= cluster label) is always a real node.
+
+    Accepts a string Arrow array (hashes it) or an unsigned-integer array /
+    numpy array (already-hashed ids pass through). Collision math: two of n
+    conv ids collide with probability ≈ n²/2^64 (~1e-5 at 12M conversations,
+    ~1e-3 at 100M) — a collision can only MERGE two clusters, an error rate
+    far below the scorer's own FP rate at τ; string ids are re-attached from
+    the signatures table at cluster write, so output ids are never hashes."""
+    import pyarrow as pa
+
+    if isinstance(ids, np.ndarray) and ids.dtype == np.uint64:
+        return ids
+    if isinstance(ids, (pa.Array, pa.ChunkedArray)) and (
+        pa.types.is_unsigned_integer(ids.type) or pa.types.is_integer(ids.type)
+    ):
+        return np.asarray(as_array(ids).to_numpy(zero_copy_only=False),
+                          dtype=np.uint64)
+    return hash_strings(ids, seed=CID_SEED) >> U64(1)

@@ -259,81 +259,28 @@ def dedupe_pipeline(
     fp_edges = cp.input_fingerprint("edges", "signatures")
 
     def _build_clusters() -> ray.data.Dataset:
-        import numpy as np
-
-        from mediachain_indexer_ray.functions.hashing import hash_strings
-        from mediachain_indexer_ray.stages.partition import grouped_partitions
+        from mediachain_indexer_ray.stages.closure import attach_string_labels
 
         n_edges = cp.manifest("edges")["rows"]
-        # 25k rows/part (not 100k): closure frontiers are narrow two-string
-        # tables, and a row-count-derived 8 partitions left half a 16-CPU box
-        # idle through every round (measured: clusters stage scaled 1.7× from
-        # 4→16 CPUs until this; the 2×CPU cap still bounds it above)
-        comp, node_hashes = connected_components(
+        # 25k rows/part (not 100k): closure frontiers are narrow fixed-width
+        # uint64 tables, and a row-count-derived 8 partitions left half a
+        # 16-CPU box idle through every round (measured: clusters stage scaled
+        # 1.7× from 4→16 CPUs until this; the 2×CPU cap still bounds it above)
+        comp, node_labels = connected_components(
             edges, cfg, num_parts=sized_parallelism(2 * n_edges, 25_000),
-            n_edges=n_edges, want_node_hashes=True,
+            n_edges=n_edges, want_node_labels=True,
         )
-        ids = sigs.select_columns(["conv_id"])
-
-        if n_edges <= 2_000_000:
-            # small edge set: broadcast the edge-node hash set and ANTI-FILTER
-            # the id stream for singletons — no shuffle at all (comp already
-            # carries exactly one row per edge-node). The two-phase closure
-            # hands the sorted hash set over for free; only the iterative
-            # path needs the extra gather job.
-            if node_hashes is not None:
-                hs_ref = ray.put(node_hashes)
-            else:
-                comp = comp.materialize()
-                hs = comp.map_batches(
-                    lambda b: pa.table(
-                        {"h": pa.array(hash_strings(b.column("conv_id").combine_chunks()))}
-                    ),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                ).to_pandas()["h"].to_numpy()
-                hs_ref = ray.put(np.sort(hs))
-
-            def _singletons(b: pa.Table) -> pa.Table:
-                edge_nodes = ray.get(hs_ref)
-                h = hash_strings(b.column("conv_id").combine_chunks())
-                if len(edge_nodes):
-                    pos = np.clip(np.searchsorted(edge_nodes, h), 0, len(edge_nodes) - 1)
-                    keep = edge_nodes[pos] != h
-                else:
-                    keep = np.ones(len(h), bool)
-                t = b.filter(pa.array(keep))
-                return pa.table(
-                    {"conv_id": t.column("conv_id"), "cluster_id": t.column("conv_id")}
-                )
-
-            selfs = ids.map_batches(
-                _singletons, batch_format="pyarrow", zero_copy_batch=True
-            )
-            return comp.union(selfs)
-
-        # scale path: full shuffle — min label per node (component label wins)
-        def _self(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {"conv_id": b.column("conv_id"), "cluster_id": b.column("conv_id")}
-            )
-
-        selfs = ids.map_batches(_self, batch_format="pyarrow", zero_copy_batch=True)
-        both = comp.union(selfs)
-
-        def _min_label(t: pa.Table) -> pa.Table:
-            gb = pa.TableGroupBy(t, "conv_id", use_threads=False)
-            agg = gb.aggregate([("cluster_id", "min")])
-            return pa.table(
-                {
-                    "conv_id": agg.column("conv_id"),
-                    "cluster_id": agg.column("cluster_id_min"),
-                }
-            )
-
-        return grouped_partitions(
-            both, "conv_id", _min_label,
-            sized_parallelism(cp.manifest("signatures")["rows"], 100_000),
+        # string conv_ids re-attach ONCE here (VERDICT r3 #3): singletons are
+        # final in one broadcast map; edge-node rows take a small uint64-label
+        # shuffle (O(edge nodes)) to agree on the min-string cluster id
+        return attach_string_labels(
+            sigs.select_columns(["conv_id"]),
+            comp,
+            node_labels,
+            label_parts=sized_parallelism(2 * n_edges, 25_000),
+            attach_parts=sized_parallelism(
+                cp.manifest("signatures")["rows"], 100_000
+            ),
         )
 
     clusters = cp.run("clusters", fp_edges, _build_clusters)

@@ -17,9 +17,7 @@ from mediachain_indexer_ray.config import Config
 from mediachain_indexer_ray.functions.minhash import minhash_signatures, sample_shingles
 from mediachain_indexer_ray.functions.shingle import shingle_hashes
 from mediachain_indexer_ray.functions.simhash import simhash_signatures
-from mediachain_indexer_ray.functions.strsim import ngram_jaccard_batch
 from mediachain_indexer_ray.stages.blocking import dedup_pairs, emit_bands, emit_pairs
-from mediachain_indexer_ray.stages.partition import grouped_partitions
 
 
 def _doc_signatures(ds: ray.data.Dataset, cfg: Config, id_col: str, text_col: str):
@@ -88,7 +86,7 @@ def minhash_lsh_pairs(
       the 100-TB path. Identical prefilters (SimHash hamming, b-bit MinHash
       estimate) and identical exact-Jaccard kernel on both paths.
     """
-    from mediachain_indexer_ray.functions.hashing import hash_strings
+    from mediachain_indexer_ray.functions.hashing import cid64
     from mediachain_indexer_ray.functions.strsim import jaccard_from_lut
 
     cfg = cfg or Config()
@@ -135,8 +133,12 @@ def minhash_lsh_pairs(
     sh_col = t.column("scorer_shingles").combine_chunks()
     off = np.asarray(sh_col.offsets.to_numpy()).astype(np.int64)
     flat = np.asarray(sh_col.values.to_numpy())
-    key = hash_strings(t.column("conv_id").combine_chunks(), seed=0x2D)
+    # keyed by cid64: candidate pairs leave the shared blocking stages as
+    # 63-bit id-hashes (VERDICT r3 #3), so the verify LUT uses the same key
+    # family; the sorted string ids ride along to restore user-facing ids
+    key = cid64(t.column("conv_id").combine_chunks())
     order = np.argsort(key)
+    ids_sorted = t.column("conv_id").combine_chunks().take(pa.array(order))
     counts = np.diff(off)[order]
     starts = off[:-1][order]
     gather = (
@@ -155,7 +157,7 @@ def minhash_lsh_pairs(
         .astype(np.uint8)
         if t.num_rows else np.empty((0, cfg.num_perm), np.uint8)
     )
-    lut_ref = ray.put((np.sort(key), off_sorted, flat[gather], mh))
+    lut_ref = ray.put((key[order], off_sorted, flat[gather], mh, ids_sorted))
 
     def _verify(b: pa.Table) -> pa.Table:
         from mediachain_indexer_ray.functions.simhash import hamming64
@@ -175,10 +177,11 @@ def minhash_lsh_pairs(
                     "jaccard_milli": pa.array([], pa.int64()),
                 }
             )
-        keys, off_l, val_l, mh_l = ray.get(lut_ref)
+        keys, off_l, val_l, mh_l, ids_l = ray.get(lut_ref)
         locs = []
         for col in ("a", "b"):
-            h = hash_strings(b.column(col).combine_chunks(), seed=0x2D)
+            h = np.asarray(b.column(col).to_numpy(zero_copy_only=False),
+                           dtype=np.uint64)
             if len(keys) == 0:
                 locs.append((np.zeros(b.num_rows, np.int64),
                              np.zeros(b.num_rows, bool)))
@@ -197,13 +200,22 @@ def minhash_lsh_pairs(
                                locs[1][0], locs[1][1])
         milli = np.floor(jac * 1000 + 0.5).astype(np.int64)
         keep = milli >= milli_floor
+        # user-facing doc ids restored from the LUT's sorted string column
+        # (endpoints always hit: they came from the same signature pass);
+        # pairs were canonicalized in cid64 order upstream — re-canonicalize
+        # by STRING so the public pair surface is stable in the id domain
+        import pyarrow.compute as pc
+
+        ida = ids_l.take(pa.array(locs[0][0], pa.int64()))
+        idb = ids_l.take(pa.array(locs[1][0], pa.int64()))
+        swap = pc.greater(ida, idb)
         return pa.table(
             {
-                "a": b.column("a"),
-                "b": b.column("b"),
+                "a": pc.if_else(swap, idb, ida),
+                "b": pc.if_else(swap, ida, idb),
                 "jaccard_milli": pa.array(milli),
             }
-        ).filter(pa.array(keep))
+        ).filter(pa.array(keep & locs[0][1] & locs[1][1]))
 
     return cand.map_batches(_verify, batch_format="pyarrow",
                             batch_size=cfg.pair_batch_size)
@@ -251,8 +263,14 @@ def _verify_pairs_shuffle_join(
              pa.py_buffer(np.arange(0, (n + 1) * K, K, dtype=np.int64)),
              pa.py_buffer(mh8.tobytes())],
         )
+        from mediachain_indexer_ray.functions.hashing import cid64
+
+        # join key = the 63-bit id-hash the candidate pairs carry (VERDICT r3
+        # #3); the string id rides as a payload column to restore user-facing
+        # output ids after the join
         return pa.table(
-            {"conv_id": b.column("conv_id"), "sh": sh_bin, "mh8": mh_bin}
+            {"key": pa.array(cid64(b.column("conv_id").combine_chunks())),
+             "id": b.column("conv_id"), "sh": sh_bin, "mh8": mh_bin}
         )
 
     side = sigs.select_columns(
@@ -260,10 +278,14 @@ def _verify_pairs_shuffle_join(
     ).map_batches(_mk_side, batch_format="pyarrow", zero_copy_batch=True)
     P = default_parallelism()
     j = cand.join(
-        side.rename_columns({"conv_id": "a", "sh": "sh_a", "mh8": "mh8_a"}),
+        side.rename_columns(
+            {"key": "a", "id": "id_a", "sh": "sh_a", "mh8": "mh8_a"}
+        ),
         join_type="inner", num_partitions=P, on=("a",),
     ).join(
-        side.rename_columns({"conv_id": "b", "sh": "sh_b", "mh8": "mh8_b"}),
+        side.rename_columns(
+            {"key": "b", "id": "id_b", "sh": "sh_b", "mh8": "mh8_b"}
+        ),
         join_type="inner", num_partitions=P, on=("b",),
     )
 
@@ -316,10 +338,15 @@ def _verify_pairs_shuffle_join(
         jac = jaccard_from_lut(off, val, pos_a, hit, pos_b, hit)
         milli = np.floor(jac * 1000 + 0.5).astype(np.int64)
         keep = milli >= milli_floor
+        import pyarrow.compute as pc
+
+        ida = b.column("id_a").combine_chunks()
+        idb = b.column("id_b").combine_chunks()
+        swap = pc.greater(ida, idb)  # cid64-canonical → string-canonical
         return pa.table(
             {
-                "a": b.column("a"),
-                "b": b.column("b"),
+                "a": pc.if_else(swap, idb, ida),
+                "b": pc.if_else(swap, ida, idb),
                 "jaccard_milli": pa.array(milli),
             }
         ).filter(pa.array(keep))

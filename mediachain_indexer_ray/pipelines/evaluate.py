@@ -24,10 +24,30 @@ _PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _pair_hash(a, b) -> np.ndarray:
-    """Order-sensitive uint64 hash of an (a, b) string pair (vectorized)."""
-    from mediachain_indexer_ray.functions.hashing import hash_strings, splitmix64
+    """Orientation-INSENSITIVE uint64 hash of an id pair (vectorized).
+    Ids may be strings (labels) or already-hashed uint64 (candidate rows —
+    the pair table is uint64-native, VERDICT r3 #3); both land in the same
+    cid64 space. Candidates are canonical in uint64 order while labels are
+    canonical in string order, so the pair key min/max-normalizes the two
+    hashes before mixing."""
+    from mediachain_indexer_ray.functions.hashing import cid64, splitmix64
 
-    return splitmix64(hash_strings(a) * _PAIR_MIX ^ hash_strings(b))
+    ha, hb = cid64(a), cid64(b)
+    lo, hi = np.minimum(ha, hb), np.maximum(ha, hb)
+    return splitmix64(lo * _PAIR_MIX ^ hi)
+
+
+def _cid_pair_lohi(labels: pd.DataFrame) -> list[tuple[int, int]]:
+    """Per-label-row (lo, hi) cid64 pair keys — the orientation-normalized
+    form candidate pairs are stored in."""
+    from mediachain_indexer_ray.functions.hashing import cid64
+
+    if not len(labels):
+        return []
+    ha = cid64(pa.array(labels["a"].tolist(), pa.string()))
+    hb = cid64(pa.array(labels["b"].tolist(), pa.string()))
+    lo, hi = np.minimum(ha, hb), np.maximum(ha, hb)
+    return list(zip(lo.tolist(), hi.tolist()))
 
 
 def _isin_sorted(h: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
@@ -49,16 +69,22 @@ def _typed_pandas(ds: ray.data.Dataset, cols: list[str]) -> pd.DataFrame:
 
 
 def _labeled_subset(ds: ray.data.Dataset, keys: set[tuple[str, str]]) -> pd.DataFrame:
-    """Stream `ds` (columns a,b,...) and keep only rows whose (a,b) is labeled.
+    """Stream `ds` (columns a,b,... — uint64 id-hashes) and keep only rows
+    whose (a,b) is labeled.
 
     The membership test is a vectorized 64-bit pair-hash + searchsorted against
     the broadcast sorted label hashes — no per-row Python loop over the (at
     scale, 10^9-pair) candidate stream. A hash collision can only ADMIT an
-    extra row, and every caller re-checks membership against the exact string
-    pairs downstream, so false positives cannot affect the P/R/F1 result.
+    extra row, and every caller re-checks membership against the exact
+    cid64-normalized pair keys downstream, so false positives cannot affect
+    the P/R/F1 result.
     """
-    kh = np.sort(_pair_hash([k[0] for k in keys], [k[1] for k in keys])) \
-        if keys else np.array([], np.uint64)
+    import pyarrow as _pa
+
+    kh = np.sort(_pair_hash(
+        _pa.array([k[0] for k in keys], _pa.string()),
+        _pa.array([k[1] for k in keys], _pa.string()),
+    )) if keys else np.array([], np.uint64)
     keys_ref = ray.put(kh)
 
     def _f(b: pa.Table) -> pa.Table:
@@ -75,15 +101,17 @@ def _labeled_subset(ds: ray.data.Dataset, keys: set[tuple[str, str]]) -> pd.Data
 
 def _id_subset(ds: ray.data.Dataset, col: str, ids: set[str], cols: list[str]) -> pd.DataFrame:
     """Same hash-prefilter shape as ``_labeled_subset`` for a single id column
-    (extra collision rows only add unused entries to the caller's lookup)."""
-    from mediachain_indexer_ray.functions.hashing import hash_strings
+    — the column may be strings (signatures, flagship clusters) or uint64
+    id-hashes (core closure output); both compare in cid64 space (extra
+    collision rows only add unused entries to the caller's lookup)."""
+    from mediachain_indexer_ray.functions.hashing import cid64
 
-    ih = np.sort(hash_strings(sorted(ids))) if ids else np.array([], np.uint64)
+    ih = np.sort(cid64(sorted(ids))) if ids else np.array([], np.uint64)
     ids_ref = ray.put(ih)
 
     def _f(b: pa.Table) -> pa.Table:
         s = ray.get(ids_ref)
-        h = hash_strings(b.column(col).combine_chunks())
+        h = cid64(b.column(col).combine_chunks())
         return b.filter(pa.array(_isin_sorted(h, s)))
 
     return _typed_pandas(
@@ -102,7 +130,11 @@ def eligible_label_pairs(
     """Boolean mask over `labels`: pair shares ≥1 blocking key (band or digest)."""
     keys = set(zip(labels["a"], labels["b"]))
     cand = _labeled_subset(candidates.select_columns(["a", "b"]), keys)
-    cand_keys = set(zip(cand["a"], cand["b"]))
+    # candidate rows are uint64 id-hash pairs, already canonical in u64 order;
+    # labels are canonical in STRING order — normalize both to (lo, hi) cid64
+    cand_keys = set(
+        zip(cand["a"].astype(np.uint64).tolist(), cand["b"].astype(np.uint64).tolist())
+    )
 
     ids = set(labels["a"]) | set(labels["b"])
     digs = _id_subset(signatures, "conv_id", ids, ["conv_id", "digest"])
@@ -111,7 +143,10 @@ def eligible_label_pairs(
         lambda r: dmap.get(r["a"]) is not None and dmap.get(r["a"]) == dmap.get(r["b"]),
         axis=1,
     )
-    in_cand = labels.apply(lambda r: (r["a"], r["b"]) in cand_keys, axis=1)
+    label_keys = _cid_pair_lohi(labels)
+    in_cand = pd.Series(
+        [k in cand_keys for k in label_keys], index=labels.index
+    )
     return in_cand | same_digest
 
 
@@ -127,15 +162,36 @@ def evaluate_clusters(
     sub = labels[eligible].copy()
 
     ids = set(sub["a"]) | set(sub["b"])
-    cmap_df = _id_subset(clusters, "conv_id", ids, ["conv_id", "cluster_id"])
-    cmap = dict(zip(cmap_df["conv_id"], cmap_df["cluster_id"]))
+    # clusters come in two shapes: the user-facing (conv_id, cluster_id)
+    # string table (flagship output) or the uint64-native closure core's
+    # (node, cluster) — cluster equality is all the metric needs, so the
+    # u64 shape is evaluated directly in cid64 space (sweep_eval path)
+    cols = set(clusters.schema().names)
+    if "conv_id" in cols:
+        cmap_df = _id_subset(clusters, "conv_id", ids, ["conv_id", "cluster_id"])
+        cmap = dict(zip(cmap_df["conv_id"], cmap_df["cluster_id"]))
+        key_a, key_b = sub["a"], sub["b"]
+    else:
+        from mediachain_indexer_ray.functions.hashing import cid64
+
+        cmap_df = _id_subset(clusters, "node", ids, ["node", "cluster"])
+        cmap = dict(
+            zip(cmap_df["node"].astype(np.uint64).tolist(),
+                cmap_df["cluster"].astype(np.uint64).tolist())
+        )
+        if len(sub):
+            key_a = cid64(pa.array(sub["a"].tolist(), pa.string())).tolist()
+            key_b = cid64(pa.array(sub["b"].tolist(), pa.string())).tolist()
+        else:
+            key_a = key_b = []
 
     pred = np.array(
         [
             cmap.get(a) is not None and cmap.get(a) == cmap.get(b)
-            for a, b in zip(sub["a"], sub["b"])
-        ]
-    )
+            for a, b in zip(key_a, key_b)
+        ],
+        dtype=bool,
+    ).reshape(len(sub))
     truth = sub["is_dup"].to_numpy()
     tp = int((pred & truth).sum())
     fp = int((pred & ~truth).sum())
@@ -223,19 +279,23 @@ def fill_block_keys(
     exact digest, '' otherwise."""
     keys = set(zip(labels["a"], labels["b"]))
     cand = _labeled_subset(candidates.select_columns(["a", "b"]), keys)
-    cand_keys = set(zip(cand["a"], cand["b"]))
+    cand_keys = set(
+        zip(cand["a"].astype(np.uint64).tolist(), cand["b"].astype(np.uint64).tolist())
+    )
+    label_keys = _cid_pair_lohi(labels)
     ids = set(labels["a"]) | set(labels["b"])
     digs = _id_subset(signatures, "conv_id", ids, ["conv_id", "digest"])
     dmap = dict(zip(digs["conv_id"], digs["digest"]))
 
-    def bk(r):
+    out = labels.copy()
+    bks = []
+    for (_, r), lk in zip(labels.iterrows(), label_keys):
         da, db = dmap.get(r["a"]), dmap.get(r["b"])
         if da is not None and da == db:
-            return f"digest:{da:016x}"
-        if (r["a"], r["b"]) in cand_keys:
-            return "band"
-        return ""
-
-    out = labels.copy()
-    out["block_key"] = labels.apply(bk, axis=1)
+            bks.append(f"digest:{da:016x}")
+        elif lk in cand_keys:
+            bks.append("band")
+        else:
+            bks.append("")
+    out["block_key"] = bks
     return out

@@ -38,7 +38,6 @@ from mediachain_indexer_ray.stages.blocking import (
     split_exact_dedup,
 )
 from mediachain_indexer_ray.stages.closure import connected_components
-from mediachain_indexer_ray.stages.partition import grouped_partitions
 from mediachain_indexer_ray.stages.scoring import score_pairs
 from mediachain_indexer_ray.stages.signatures import signatures
 from mediachain_indexer_ray.state.checkpoint import CheckpointManager, read_checkpoint
@@ -114,12 +113,13 @@ def incremental_dedupe(
 
     def _build_pairs():
         bands = emit_bands(both, cfg, band_bs)
-        # re-attach is_new: delta conv ids are few — broadcast their hash set
-        from mediachain_indexer_ray.functions.hashing import hash_strings
+        # re-attach is_new: delta conv ids are few — broadcast their id-hash
+        # set (band rows carry the 63-bit cid, not the string — VERDICT r3 #3)
+        from mediachain_indexer_ray.functions.hashing import cid64
 
         delta_ids = delta_sigs.select_columns(["conv_id"]).map_batches(
             lambda b: pa.table(
-                {"h": pa.array(hash_strings(b.column("conv_id").combine_chunks()))}
+                {"h": pa.array(cid64(b.column("conv_id").combine_chunks()))}
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -128,7 +128,8 @@ def incremental_dedupe(
 
         def _flag(b: pa.Table) -> pa.Table:
             ids = ray.get(ids_ref)
-            h = hash_strings(b.column("conv_id").combine_chunks())
+            h = np.asarray(b.column("cid").to_numpy(zero_copy_only=False),
+                           dtype=np.uint64)
             if len(ids):
                 pos = np.clip(np.searchsorted(ids, h), 0, len(ids) - 1)
                 new = ids[pos] == h
@@ -202,33 +203,26 @@ def incremental_dedupe(
     edges = cp.run("edges", fp_edges, _build_edges)
 
     def _build_clusters():
+        from mediachain_indexer_ray.stages.closure import attach_string_labels
+
         n_edges = cp.manifest("edges")["rows"]
-        comp = connected_components(
+        comp, node_labels = connected_components(
             edges, cfg, num_parts=sized_parallelism(2 * n_edges, 25_000),
-            n_edges=n_edges,
+            n_edges=n_edges, want_node_labels=True,
         )
-        ids = both.select_columns(["conv_id"])
-
-        def _self(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {"conv_id": b.column("conv_id"), "cluster_id": b.column("conv_id")}
-            )
-
-        selfs = ids.map_batches(_self, batch_format="pyarrow", zero_copy_batch=True)
-
-        def _min_label(t: pa.Table) -> pa.Table:
-            gb = pa.TableGroupBy(t, "conv_id", use_threads=False)
-            agg = gb.aggregate([("cluster_id", "min")])
-            return pa.table(
-                {
-                    "conv_id": agg.column("conv_id"),
-                    "cluster_id": agg.column("cluster_id_min"),
-                }
-            )
-
-        return grouped_partitions(
-            comp.union(selfs), "conv_id", _min_label,
-            sized_parallelism(n_base_reps + n_delta, 100_000),
+        # id universe = EVERY base conversation (kind=0 reps AND kind=1
+        # exact-dup members — the members are edge nodes whose string ids
+        # exist only here) ∪ the delta: attach_string_labels derives all
+        # output rows from this stream
+        ids = old_mixed.select_columns(["conv_id"]).union(
+            delta_sigs.select_columns(["conv_id"])
+        )
+        return attach_string_labels(
+            ids,
+            comp,
+            node_labels,
+            label_parts=sized_parallelism(2 * n_edges, 25_000),
+            attach_parts=sized_parallelism(n_base_reps + n_delta, 100_000),
         )
 
     fp_cl = cp.input_fingerprint("edges")

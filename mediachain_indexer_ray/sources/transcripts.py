@@ -37,23 +37,8 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
                 "tool",
                 pc.fill_null(tool, ""),
             )
-    # closure reserves "\x01" as its virtual-relay marker (stages/closure.py
-    # RELAY_MARKER): an id containing it would be misread as a relay node and
-    # silently merged/dropped — fail fast at ingest instead (ADVICE r2). The
-    # happy path is ONE numpy scan of the raw id bytes; the per-row kernel
-    # runs only to report the offending id.
-    cid = batch.column("conv_id").combine_chunks()
-    bufs = cid.buffers()
-    if bufs[2] is not None:
-        off = np.frombuffer(bufs[1], np.int32)[cid.offset : cid.offset + len(cid) + 1]
-        data = np.frombuffer(bufs[2], np.uint8)[off[0] : off[-1]]
-        if bool((data == 1).any()):
-            marked = pc.fill_null(pc.match_substring(cid, "\x01"), False)
-            example = cid.filter(marked)[0].as_py()
-            raise ValueError(
-                "transcripts: conv_id contains the reserved relay marker "
-                f"'\\x01' (example: {example!r}); such ids are not supported"
-            )
+    # (older engine versions reserved "\x01" in conv_id for closure's string
+    # relay ids; closure is uint64-native now — no reserved characters)
     text = batch.column("text")
     bad = pc.or_kleene(pc.is_null(text), pc.equal(text, ""))
     keep = pc.fill_null(pc.invert(bad), False)

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from mediachain_indexer_ray.config import Config
-from mediachain_indexer_ray.functions.hashing import U64, hash_strings, splitmix64
+from mediachain_indexer_ray.functions.hashing import U64, cid64, splitmix64
 from mediachain_indexer_ray.functions.simhash import hamming64
 from mediachain_indexer_ray.stages.partition import grouped_partitions
 
@@ -122,11 +122,23 @@ def exact_dedup_mixed(
 def split_exact_dedup(
     mixed: ray.data.Dataset,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """reps keep their string conv_id (they feed the scorer LUT and the final
+    cluster write); edges are emitted as 63-bit id-hashes — the closure chain
+    is uint64-native end to end (VERDICT r3 #3)."""
     reps = mixed.filter(expr="kind == 0").drop_columns(["kind", "edge_to"])
+
+    def _to_u64(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(cid64(b.column("edge_to").combine_chunks())),
+                "b": pa.array(cid64(b.column("conv_id").combine_chunks())),
+            }
+        )
+
     edges = (
         mixed.filter(expr="kind == 1")
         .select_columns(["edge_to", "conv_id"])
-        .rename_columns({"edge_to": "a", "conv_id": "b"})
+        .map_batches(_to_u64, batch_format="pyarrow", zero_copy_batch=True)
     )
     return reps, edges
 
@@ -146,10 +158,14 @@ def _emit_bands_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     # mix the band index in so band 0 of one conv never collides with band 1
     h ^= splitmix64(np.arange(B, dtype=U64) + U64(0xBAD5EED))
     idx = np.repeat(np.arange(n, dtype=np.int64), B)
+    # band rows carry the 63-bit id-hash, not the conv_id string: B rows per
+    # conversation ride the band→pair shuffle, so id bytes here are the
+    # dominant exchange cost after the texts are gone (VERDICT r3 #3)
+    cid = cid64(batch.column("conv_id").combine_chunks())
     return pa.table(
         {
             "band_key": pa.array(h.reshape(-1)),
-            "conv_id": batch.column("conv_id").take(pa.array(idx)),
+            "cid": pa.array(cid[idx]),
             "simhash": batch.column("simhash").take(pa.array(idx)),
         }
     )
@@ -198,15 +214,19 @@ def _member_pairs(size: int, new_sub: np.ndarray | None):
 
 
 def _emit_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
-    """Salted, capped pair emission within a band bucket. If the table carries
-    an ``is_new`` column (incremental delta path), only pairs touching ≥1 new
-    row are emitted — same salting and truncation accounting either way."""
+    """Salted, capped pair emission within a band bucket, uint64-native: rows
+    arrive as (band_key, cid, simhash) where cid is the 63-bit id-hash, and
+    pairs leave as (a, b) uint64 — the string conv_id never rides this
+    shuffle chain (VERDICT r3 #3). If the table carries an ``is_new`` column
+    (incremental delta path), only pairs touching ≥1 new row are emitted —
+    same salting and truncation accounting either way."""
     idx = pc.sort_indices(
-        t, sort_keys=[("band_key", "ascending"), ("conv_id", "ascending")]
+        t, sort_keys=[("band_key", "ascending"), ("cid", "ascending")]
     )
     t = t.take(idx)
     keys = t.column("band_key").to_numpy()
-    conv_col = t.column("conv_id").combine_chunks()
+    conv = np.asarray(t.column("cid").to_numpy(zero_copy_only=False),
+                      dtype=np.uint64)
     simh = t.column("simhash").to_numpy()
     is_new = (
         t.column("is_new").to_numpy(zero_copy_only=False)
@@ -230,9 +250,9 @@ def _emit_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
         if size < 2 or (is_new is not None and not is_new[s:e].any()):
             continue
         if size > hot:
-            # salted split: deterministic sub-blocks by conv-id hash (A5)
+            # salted split: deterministic sub-blocks by id-hash (A5)
             if conv_hash is None:
-                conv_hash = hash_strings(t.column("conv_id").combine_chunks(), seed=0xA17)
+                conv_hash = splitmix64(conv ^ U64(0xA17))
             n_sub = int(np.ceil(size / hot))
             salts = (conv_hash[s:e] % np.uint64(n_sub)).astype(np.int64)
             order = np.argsort(salts, kind="stable")
@@ -266,8 +286,8 @@ def _emit_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
     if not a_idx:
         return pa.table(
             {
-                "a": pa.array([], pa.string()),
-                "b": pa.array([], pa.string()),
+                "a": pa.array([], pa.uint64()),
+                "b": pa.array([], pa.uint64()),
                 "simhash_a": pa.array([], pa.uint64()),
                 "simhash_b": pa.array([], pa.uint64()),
                 "truncated": pa.array([], pa.int64()),
@@ -275,24 +295,22 @@ def _emit_pairs_partition(t: pa.Table, cfg: Config) -> pa.Table:
         )
     ai = np.concatenate(a_idx)
     bi = np.concatenate(b_idx)
-    # canonical a < b, fully Arrow-native (no pandas object arrays / Python
-    # richcompare in the hottest emission loop — VERDICT r2 #5). Members are
-    # conv-sorted within each (sub-)block so the full-corpus triu path is
-    # already ordered; only incremental new×old cross pairs can need the swap.
-    a_arr = conv_col.take(pa.array(ai))
-    b_arr = conv_col.take(pa.array(bi))
-    swap = pc.greater(a_arr, b_arr)
-    a_fin = pc.if_else(swap, b_arr, a_arr)
-    b_fin = pc.if_else(swap, a_arr, b_arr)
-    swap_np = swap.to_numpy(zero_copy_only=False)
+    # canonical a < b on the uint64 ids — pure numpy min/max, no string
+    # compares anywhere in the hottest emission loop. Members are cid-sorted
+    # within each (sub-)block so the full-corpus triu path is already
+    # ordered; only incremental new×old cross pairs can need the swap.
+    a_arr, b_arr = conv[ai], conv[bi]
+    swap_np = a_arr > b_arr
+    a_fin = np.where(swap_np, b_arr, a_arr)
+    b_fin = np.where(swap_np, a_arr, b_arr)
     sim_a = np.where(swap_np, simh[bi], simh[ai])
     sim_b = np.where(swap_np, simh[ai], simh[bi])
     trunc_col = np.zeros(len(ai), np.int64)
     trunc_col[0] = truncated  # carried as a counter column, summed in manifests
     return pa.table(
         {
-            "a": a_fin,
-            "b": b_fin,
+            "a": pa.array(a_fin),
+            "b": pa.array(b_fin),
             "simhash_a": pa.array(sim_a),
             "simhash_b": pa.array(sim_b),
             "truncated": pa.array(trunc_col),
@@ -343,10 +361,9 @@ def dedup_pairs(
     universe) — the simhash prefilter is applied downstream, not here."""
 
     def _add_pair_key(b: pa.Table) -> pa.Table:
-        h = splitmix64(
-            hash_strings(b.column("a").combine_chunks(), seed=0xA)
-            ^ np.left_shift(hash_strings(b.column("b").combine_chunks(), seed=0xB), np.uint64(1))
-        )
+        a = np.asarray(b.column("a").to_numpy(zero_copy_only=False), np.uint64)
+        bb = np.asarray(b.column("b").to_numpy(zero_copy_only=False), np.uint64)
+        h = splitmix64(splitmix64(a ^ U64(0xA)) ^ np.left_shift(bb, U64(1)))
         return b.append_column("pair_key", pa.array(h))
 
     keyed = pairs.map_batches(_add_pair_key, batch_format="pyarrow", zero_copy_batch=True)

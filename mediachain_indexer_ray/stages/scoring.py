@@ -84,11 +84,11 @@ class PairScorer:
         """LUT row positions for both endpoints — NO text gather (texts are
         fetched later, only for the borderline band that needs the DP
         kernels). Returns ((pos_a, hit_a), (pos_b, hit_b))."""
-        from mediachain_indexer_ray.functions.hashing import hash_strings
+        from mediachain_indexer_ray.functions.hashing import cid64
 
         locs = []
         for col in ("a", "b"):
-            h = hash_strings(b.column(col).combine_chunks(), seed=0x1D)
+            h = cid64(b.column(col).combine_chunks())
             if len(self._lut_keys) == 0:
                 locs.append((np.zeros(b.num_rows, np.int64),
                              np.zeros(b.num_rows, bool)))
@@ -182,12 +182,12 @@ class PairScorer:
         """Jaccard for the shuffle-join path: endpoints are id-hashed
         (vectorized), sets resolved from the segmented cache with searchsorted;
         misses are shingled once per unique id per actor."""
-        from mediachain_indexer_ray.functions.hashing import hash_strings
+        from mediachain_indexer_ray.functions.hashing import cid64
 
         n = batch.num_rows
         h = np.concatenate([
-            hash_strings(batch.column("a").combine_chunks(), seed=0x1D),
-            hash_strings(batch.column("b").combine_chunks(), seed=0x1D),
+            cid64(batch.column("a").combine_chunks()),
+            cid64(batch.column("b").combine_chunks()),
         ])
         uniq, first_occ, inv = np.unique(h, return_index=True, return_inverse=True)
         texts_all = None
@@ -298,8 +298,8 @@ class PairScorer:
 def _empty_scored() -> pa.Table:
     return pa.table(
         {
-            "a": pa.array([], pa.string()),
-            "b": pa.array([], pa.string()),
+            "a": pa.array([], pa.uint64()),
+            "b": pa.array([], pa.uint64()),
             "n_bands": pa.array([], pa.int32()),
             "score_jaccard": pa.array([], pa.float32()),
             "score_cosine": pa.array([], pa.float32()),
@@ -340,7 +340,7 @@ def attach_pair_texts(
     shuffles either way; text payloads attach exactly once, here."""
     side = reps.select_columns(["conv_id", "feature_text"])
     if reps_rows is not None and reps_rows <= BROADCAST_MAX_ROWS:
-        from mediachain_indexer_ray.functions.hashing import hash_strings
+        from mediachain_indexer_ray.functions.hashing import cid64
 
         tabs = [t for t in ray.get(side.to_arrow_refs()) if t.num_rows > 0]
         # broadcast an ARROW table keyed by sorted uint64 id-hash: plasma gets
@@ -350,7 +350,7 @@ def attach_pair_texts(
             {"conv_id": pa.array([], pa.string()),
              "feature_text": pa.array([], pa.string())}
         )
-        key = hash_strings(lut_tab.column("conv_id").combine_chunks(), seed=0x1D)
+        key = cid64(lut_tab.column("conv_id").combine_chunks())
         order = np.argsort(key)
         lut_tab = pa.table(
             {
@@ -368,7 +368,7 @@ def attach_pair_texts(
             texts = lut.column("feature_text")
             out_cols = []
             for col in ("a", "b"):
-                h = hash_strings(b.column(col).combine_chunks(), seed=0x1D)
+                h = cid64(b.column(col).combine_chunks())
                 if len(keys) == 0:
                     out_cols.append(pa.array([""] * b.num_rows, pa.string()))
                     continue
@@ -383,8 +383,25 @@ def attach_pair_texts(
 
         return pairs.map_batches(_attach, batch_format="pyarrow", zero_copy_batch=True)
 
-    a_side = side.rename_columns({"conv_id": "a", "feature_text": "text_a"})
-    b_side = side.rename_columns({"conv_id": "b", "feature_text": "text_b"})
+    from mediachain_indexer_ray.functions.hashing import cid64
+
+    def _keyed(name: str, text_name: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    name: pa.array(cid64(b.column("conv_id").combine_chunks())),
+                    text_name: b.column("feature_text"),
+                }
+            )
+
+        return _f
+
+    a_side = side.map_batches(
+        _keyed("a", "text_a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    b_side = side.map_batches(
+        _keyed("b", "text_b"), batch_format="pyarrow", zero_copy_batch=True
+    )
     out = pairs.join(
         a_side, join_type="inner", num_partitions=num_partitions, on=("a",)
     )
@@ -405,7 +422,7 @@ def build_text_lut_ref_from_reps(reps: ray.data.Dataset, cfg: Config):
     lookups go pos_sorted → perm → row in unsorted storage."""
     import pyarrow.compute as pc
 
-    from mediachain_indexer_ray.functions.hashing import hash_strings
+    from mediachain_indexer_ray.functions.hashing import cid64
 
     text_cap = max(cfg.jw_max_chars, cfg.lev_max_chars)
 
@@ -413,7 +430,7 @@ def build_text_lut_ref_from_reps(reps: ray.data.Dataset, cfg: Config):
         from mediachain_indexer_ray.functions.threads import pin_arrow_threads
 
         pin_arrow_threads()
-        key = hash_strings(b.column("conv_id").combine_chunks(), seed=0x1D)
+        key = cid64(b.column("conv_id").combine_chunks())
         text = pc.utf8_slice_codeunits(
             b.column("feature_text").combine_chunks(), 0, text_cap
         )
@@ -479,14 +496,14 @@ def build_text_lut_ref(checkpoint_dir: str, cfg: Config | None = None):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from mediachain_indexer_ray.functions.hashing import hash_strings
+    from mediachain_indexer_ray.functions.hashing import cid64
 
     text_cap = max(cfg.jw_max_chars, cfg.lev_max_chars) if cfg else 192
     t = pq.read_table(
         checkpoint_dir, columns=["kind", "conv_id", "feature_text", "scorer_shingles"]
     )
     t = t.filter(pc.equal(t.column("kind"), 0))
-    key = hash_strings(t.column("conv_id").combine_chunks(), seed=0x1D)
+    key = cid64(t.column("conv_id").combine_chunks())
     order = np.argsort(key)
     take = pa.array(order)
     text = pc.utf8_slice_codeunits(

@@ -1,7 +1,7 @@
 """Kernel-equivalence tests for salted/capped pair emission (SURVEY.md J1/A5/O1).
 
-Pins the Arrow-native canonical-pair path (pc.greater/pc.if_else over string
-arrays — VERDICT r2 #5 removed the pandas object-array richcompare) against a
+Pins the uint64-native canonical-pair path (pairs are 63-bit id-hashes —
+VERDICT r3 #3 removed strings from the band→pair→closure shuffles) against a
 plain-Python reference on the same partition, including the hot-block salted
 path and the incremental ``is_new`` path whose new×old cross products are the
 only pairs that can arrive non-canonical.
@@ -13,7 +13,12 @@ import numpy as np
 import pyarrow as pa
 
 from mediachain_indexer_ray.config import Config
+from mediachain_indexer_ray.functions.hashing import cid64
 from mediachain_indexer_ray.stages.blocking import _emit_pairs_partition
+
+
+def _cid(name: str) -> int:
+    return int(cid64(pa.array([name], pa.string()))[0])
 
 
 def _mk_partition(blocks, is_new=None):
@@ -25,7 +30,7 @@ def _mk_partition(blocks, is_new=None):
             conv.append(m)
     cols = {
         "band_key": pa.array(np.array(band, np.uint64)),
-        "conv_id": pa.array(conv, pa.string()),
+        "cid": pa.array(cid64(pa.array(conv, pa.string()))),
         # simhash = deterministic function of conv id so we can verify the
         # simhash columns were swapped consistently with (a, b)
         "simhash": pa.array(
@@ -39,20 +44,21 @@ def _mk_partition(blocks, is_new=None):
 
 def _reference_pairs(blocks, is_new=None):
     """All unordered in-block pairs (touching ≥1 new member if is_new given),
-    canonicalized by plain Python string comparison."""
+    canonicalized by plain Python comparison of the id-hashes."""
     out = set()
     for _, members in blocks:
         for x, y in itertools.combinations(members, 2):
             if is_new is not None and not (is_new.get(x) or is_new.get(y)):
                 continue
-            out.add((min(x, y), max(x, y)))
+            hx, hy = _cid(x), _cid(y)
+            out.add((min(hx, hy), max(hx, hy)))
     return out
 
 
 def _emitted(table, cfg):
     res = _emit_pairs_partition(table, cfg)
     sim_of = dict(
-        zip(table.column("conv_id").to_pylist(), table.column("simhash").to_pylist())
+        zip(table.column("cid").to_pylist(), table.column("simhash").to_pylist())
     )
     rows = list(
         zip(
@@ -88,7 +94,8 @@ def test_pair_emission_matches_reference_incremental_cross_pairs():
     is_new = {"zz_new": True}
     got, _ = _emitted(_mk_partition(blocks, is_new), cfg)
     assert got == _reference_pairs(blocks, is_new)
-    assert ("aa_old", "zz_new") in got
+    ho, hn = _cid("aa_old"), _cid("zz_new")
+    assert (min(ho, hn), max(ho, hn)) in got
 
 
 def test_pair_emission_salted_hot_block_stays_canonical_and_covered():

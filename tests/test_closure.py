@@ -1,5 +1,6 @@
 """Distributed Hash-to-Min connected components vs networkx oracle
-(SURVEY.md §5.2 / A2)."""
+(SURVEY.md §5.2 / A2) — uint64-native: nodes are 63-bit id-hashes
+(functions.hashing.cid64), relays carry bit 63 + a root side-column."""
 
 import networkx as nx
 import numpy as np
@@ -8,29 +9,44 @@ import pytest
 import ray
 
 from mediachain_indexer_ray.config import Config
-from mediachain_indexer_ray.stages.closure import connected_components
+from mediachain_indexer_ray.functions.hashing import cid64
+from mediachain_indexer_ray.stages.closure import (
+    attach_string_labels,
+    connected_components,
+)
 
 
-def _run_cc(edges: list[tuple[str, str]], cfg=None) -> dict[str, str]:
+def _h(name: str) -> int:
+    return int(cid64(pa.array([name], pa.string()))[0])
+
+
+def _edges_ds(edges: list[tuple[str, str]]) -> ray.data.Dataset:
     t = pa.table(
         {
-            "a": pa.array([e[0] for e in edges], pa.string()),
-            "b": pa.array([e[1] for e in edges], pa.string()),
+            "a": pa.array(cid64(pa.array([e[0] for e in edges], pa.string()))),
+            "b": pa.array(cid64(pa.array([e[1] for e in edges], pa.string()))),
         }
     )
-    ds = ray.data.from_arrow(t)
-    out = connected_components(ds, cfg or Config(num_hash_partitions=4)).to_pandas()
-    return dict(zip(out["conv_id"], out["cluster_id"]))
+    return ray.data.from_arrow(t)
 
 
-def _oracle(edges) -> dict[str, str]:
+def _run_cc(edges: list[tuple[str, str]], cfg=None, n_edges=None) -> dict[int, int]:
+    out = connected_components(
+        _edges_ds(edges), cfg or Config(num_hash_partitions=4), n_edges=n_edges
+    ).to_pandas()
+    return dict(zip(out["node"].astype(np.uint64), out["cluster"].astype(np.uint64)))
+
+
+def _oracle(edges) -> dict[int, int]:
+    """networkx components over the HASHED node ids: label = min cid64."""
     g = nx.Graph()
     g.add_edges_from(edges)
     out = {}
     for comp in nx.connected_components(g):
-        m = min(comp)
+        hs = {n: _h(n) for n in comp}
+        m = min(hs.values())
         for n in comp:
-            out[n] = m
+            out[hs[n]] = m
     return out
 
 
@@ -51,16 +67,18 @@ def test_chain_graph_converges():
     nodes = [f"p{i:03d}" for i in range(64)]
     edges = list(zip(nodes[:-1], nodes[1:]))
     got = _run_cc(edges)
-    assert set(got.values()) == {"p000"}
+    m = min(_h(x) for x in nodes)
+    assert set(got.values()) == {m}
     assert len(got) == 64
 
 
 def test_star_and_singleton_free():
-    edges = [("hub", f"s{i}" ) for i in range(20)] + [("x", "y")]
+    edges = [("hub", f"s{i}") for i in range(20)] + [("x", "y")]
     got = _run_cc(edges)
-    assert got["hub"] == "hub"
-    assert all(got[f"s{i}"] == "hub" for i in range(20))
-    assert got["x"] == got["y"] == "x"
+    star_min = min(_h("hub"), *(_h(f"s{i}") for i in range(20)))
+    assert got[_h("hub")] == star_min
+    assert all(got[_h(f"s{i}")] == star_min for i in range(20))
+    assert got[_h("x")] == got[_h("y")] == min(_h("x"), _h("y"))
 
 
 def test_giant_star_matches_networkx():
@@ -79,22 +97,22 @@ def test_giant_star_bounded_fanin_rounds():
     relay routing caps the minimum's fan-in at ~P·fanin and each relay at
     ~|C|/fanin (VERDICT r1 #7: 'without one bucket holding the whole
     component')."""
-    from mediachain_indexer_ray.functions.hashing import hash_strings
-    from mediachain_indexer_ray.stages.closure import _hash_to_min_round
+    from mediachain_indexer_ray.functions.hashing import splitmix64
+    from mediachain_indexer_ray.stages.closure import VIRT_BIT, _hash_to_min_round
 
     n = 100_000
     P, fanin = 8, 64
-    hub = "hub000"
-    u = np.array([hub] * n + [f"m{i:06d}" for i in range(n)], object)
-    v = np.array([f"m{i:06d}" for i in range(n)] + [hub] * n, object)
+    hub = _h("hub000")
+    members = cid64(pa.array([f"m{i:06d}" for i in range(n)], pa.string()))
+    u = np.concatenate([np.full(n, hub, np.uint64), members])
+    v = np.concatenate([members, np.full(n, hub, np.uint64)])
+    ur = np.zeros(2 * n, np.uint64)
+    vr = np.zeros(2 * n, np.uint64)
 
     max_part_rows = 0  # max partition input size, rounds ≥ 2 (steady state)
     max_root_fanin = 0
     for rnd in range(6):  # a few rounds to reach the fixpoint shape
-        part = (
-            hash_strings(pa.array(u, pa.string()), seed=0x5EED)
-            % np.uint64(P)
-        ).astype(np.int64)
+        part = (splitmix64(u ^ np.uint64(0x5EED)) % np.uint64(P)).astype(np.int64)
         outs = []
         for p in range(P):
             sel = part == p
@@ -102,12 +120,14 @@ def test_giant_star_bounded_fanin_rounds():
                 continue
             if rnd >= 2:
                 max_part_rows = max(max_part_rows, int(sel.sum()))
-            t = pa.table({"u": pa.array(u[sel], pa.string()),
-                          "v": pa.array(v[sel], pa.string())})
+            t = pa.table({"u": pa.array(u[sel]), "v": pa.array(v[sel]),
+                          "ur": pa.array(ur[sel]), "vr": pa.array(vr[sel])})
             outs.append(_hash_to_min_round(t, fanin))
         out = pa.concat_tables(outs)
-        u = out.column("u").to_pandas().to_numpy()
-        v = out.column("v").to_pandas().to_numpy()
+        u = np.asarray(out.column("u").to_numpy(), np.uint64)
+        v = np.asarray(out.column("v").to_numpy(), np.uint64)
+        ur = np.asarray(out.column("ur").to_numpy(), np.uint64)
+        vr = np.asarray(out.column("vr").to_numpy(), np.uint64)
         max_root_fanin = max(max_root_fanin, int((u == hub).sum()))
 
     # the root's rows are relay handles, never the member list: O(P·fanin)
@@ -119,24 +139,23 @@ def test_giant_star_bounded_fanin_rounds():
     # below the old behavior where the root's partition alone held the whole
     # member list (> n rows) on top of its hash share
     assert max_part_rows < (3 * n) // 4, max_part_rows
-    # final labels: every member still points at the hub
+    # final labels: every member still points at the hub's component min
+    comp_min = min(int(hub), *(int(x) for x in members.tolist()))
     lbl = {}
-    for uu, vv in zip(u, v):
-        if "\x01" in uu:
+    for uu, vv in zip(u.tolist(), v.tolist()):
+        if uu & int(VIRT_BIT):
             continue
         lbl.setdefault(uu, vv)
         lbl[uu] = min(lbl[uu], vv)
-    members = {k: val for k, val in lbl.items() if k != hub}
-    assert len(members) == n
-    assert set(members.values()) == {hub}
+    mem = {k: val for k, val in lbl.items() if k != comp_min}
+    assert len(mem) == n
+    assert set(mem.values()) == {comp_min}
 
 
 @pytest.mark.parametrize("seed,n,m", [(3, 50, 70), (4, 80, 40)])
 def test_two_phase_fast_path_matches_iterative(seed, n, m):
     """The driver-merge two-phase path (engaged when n_edges is known small)
     must produce exactly the iterative Hash-to-Min result."""
-    from mediachain_indexer_ray.stages.closure import connected_components as cc
-
     rng = np.random.default_rng(seed)
     nodes = [f"t{i:03d}" for i in range(n)]
     edges = [
@@ -144,31 +163,46 @@ def test_two_phase_fast_path_matches_iterative(seed, n, m):
         for _ in range(m)
     ]
     edges = [(a, b) for a, b in edges if a != b]
-    t = pa.table({"a": pa.array([e[0] for e in edges], pa.string()),
-                  "b": pa.array([e[1] for e in edges], pa.string())})
-    cfg = Config(num_hash_partitions=4)
-    fast = cc(ray.data.from_arrow(t), cfg, n_edges=len(edges)).to_pandas()
-    slow = cc(ray.data.from_arrow(t), cfg).to_pandas()
-    f = dict(zip(fast["conv_id"], fast["cluster_id"]))
-    s = dict(zip(slow["conv_id"], slow["cluster_id"]))
-    assert f == s == _oracle(edges)
+    fast = _run_cc(edges, n_edges=len(edges))
+    slow = _run_cc(edges)
+    assert fast == slow == _oracle(edges)
 
 
 def test_two_phase_giant_star():
-    from mediachain_indexer_ray.stages.closure import connected_components as cc
-
     edges = [("hub", f"x{i:05d}") for i in range(20_000)]
-    t = pa.table({"a": pa.array([e[0] for e in edges], pa.string()),
-                  "b": pa.array([e[1] for e in edges], pa.string())})
-    out = cc(ray.data.from_arrow(t), Config(num_hash_partitions=8),
-             n_edges=len(edges)).to_pandas()
-    assert len(out) == 20_001
-    assert set(out["cluster_id"]) == {"hub"}
+    got = _run_cc(edges, Config(num_hash_partitions=8), n_edges=len(edges))
+    m = min(_h("hub"), *(_h(f"x{i:05d}") for i in range(20_000)))
+    assert len(got) == 20_001
+    assert set(got.values()) == {m}
 
 
 def test_long_chain_with_relays_converges():
     nodes = [f"q{i:05d}" for i in range(2000)]
     edges = list(zip(nodes[:-1], nodes[1:]))
     got = _run_cc(edges, Config(num_hash_partitions=8, closure_fanin=32))
-    assert set(got.values()) == {"q00000"}
+    m = min(_h(x) for x in nodes)
+    assert set(got.values()) == {m}
     assert len(got) == 2000
+
+
+@pytest.mark.parametrize("force_iterative", [False, True])
+def test_attach_string_labels_both_paths(force_iterative):
+    """attach_string_labels joins conv_id strings back onto u64 components:
+    cluster_id = MIN STRING per component, non-edge ids become singletons —
+    identical output on the broadcast (two-phase) and shuffle (iterative)
+    paths."""
+    edges = [("c3", "c1"), ("c1", "c9"), ("b2", "b1")]
+    ids = [f"c{i}" for i in range(10)] + ["b1", "b2", "zz"]
+    cfg = Config(num_hash_partitions=4)
+    ds_ids = ray.data.from_arrow(pa.table({"conv_id": pa.array(ids, pa.string())}))
+    comp, node_labels = connected_components(
+        _edges_ds(edges), cfg, n_edges=None if force_iterative else len(edges),
+        num_parts=4, want_node_labels=True,
+    )
+    out = attach_string_labels(ds_ids, comp, node_labels, 4, 4).to_pandas()
+    got = dict(zip(out["conv_id"], out["cluster_id"]))
+    assert len(out) == len(ids)
+    assert got["c1"] == got["c3"] == got["c9"] == "c1"
+    assert got["b1"] == got["b2"] == "b1"
+    for x in ("c0", "c2", "c4", "zz"):
+        assert got[x] == x

@@ -288,10 +288,13 @@ def test_shingle_set_table_prefix_equivalence():
 
 
 def test_eval_subset_hash_prefilter_matches_python_membership(ray_session):
-    """The vectorized pair-hash / id-hash prefilters in pipelines.evaluate must
-    select exactly the rows a per-row Python membership test selects (the
-    downstream exact re-check makes collisions harmless, but on collision-free
-    inputs the subsets should be identical)."""
+    """The vectorized pair-hash / id-hash prefilters in pipelines.evaluate
+    select every labeled row (no false negatives) under the ORIENTATION-
+    INSENSITIVE pair key (candidate pairs are canonical in cid64 order,
+    labels in string order — the prefilter normalizes, so a reversed pair is
+    admitted too; callers exact-re-check, which makes over-admission
+    harmless). On collision-free inputs the admitted set is exactly the
+    orientation-normalized membership."""
     import pandas as pd
     import pyarrow as pa
     import ray.data
@@ -309,8 +312,14 @@ def test_eval_subset_hash_prefilter_matches_python_membership(ray_session):
     keys = {(f"c{i}", f"c{(i * 7) % 200}") for i in range(0, 200, 3)}
     got = _labeled_subset(ds, keys)
     exp = rows.to_pandas()
-    exp = exp[[tuple(t) in keys for t in zip(exp["a"], exp["b"])]]
+    norm_keys = {frozenset(k) for k in keys}
+    exp = exp[[frozenset(t) in norm_keys for t in zip(exp["a"], exp["b"])]]
     assert sorted(zip(got["a"], got["b"])) == sorted(zip(exp["a"], exp["b"]))
+    # every exact-orientation labeled row is present (no false negatives)
+    got_set = set(zip(got["a"], got["b"]))
+    for t in zip(rows.column("a").to_pylist(), rows.column("b").to_pylist()):
+        if t in keys:
+            assert t in got_set
     assert _labeled_subset(ds, set()).empty
 
     ids = {f"c{i}" for i in range(0, 200, 5)}

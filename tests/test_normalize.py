@@ -98,24 +98,22 @@ def test_turns_source_roundtrip(tmp_path, ray_session):
     assert ds.count() > 0
 
 
-def test_reserved_relay_marker_id_rejected():
-    """Ids containing closure's reserved relay marker '\\x01' must fail fast
-    at ingest (ADVICE r2) — they would be misread as virtual relay nodes."""
+def test_no_reserved_characters_in_ids():
+    """The uint64-native closure has NO reserved id characters (older engine
+    versions rejected '\\x01', the string relay marker) — control characters
+    in conv_id pass ingest untouched."""
     import numpy as np
-    import pytest
 
     from mediachain_indexer_ray.sources.transcripts import normalize_batch
-    from mediachain_indexer_ray.stages.closure import RELAY_MARKER
 
-    bad = pa.table({
-        "conv_id": pa.array(["ok", f"evil{RELAY_MARKER}id"]),
+    t = pa.table({
+        "conv_id": pa.array(["ok", "weird\x01id"]),
         "turn_idx": pa.array(np.array([0, 0], np.int32)),
         "role": pa.array(["user", "user"]),
         "text": pa.array(["hello", "world"]),
         "tool": pa.array(["", ""]),
         "ts": pa.array([0, 0], pa.timestamp("us")),
     })
-    with pytest.raises(ValueError, match="relay marker"):
-        normalize_batch(bad)
-    good = bad.filter(pa.array([True, False]))
-    assert normalize_batch(good).num_rows == 1
+    out = normalize_batch(t)
+    assert out.num_rows == 2
+    assert out.column("conv_id").to_pylist() == ["ok", "weird\x01id"]

@@ -8,7 +8,7 @@ import pytest
 import ray
 
 from mediachain_indexer_ray.config import Config
-from mediachain_indexer_ray.functions.hashing import hash_strings
+from mediachain_indexer_ray.functions.hashing import cid64
 from mediachain_indexer_ray.functions.simhash import simhash_signatures
 from mediachain_indexer_ray.functions.shingle import shingle_hashes
 from mediachain_indexer_ray.functions.strsim import shingle_set_table
@@ -68,7 +68,7 @@ def test_broadcast_and_join_scoring_identical(ray_session):
     ids, texts = _mk_corpus()
     arr = pa.array(texts, pa.string())
     off, val = shingle_set_table(arr, cfg.shingle_k, cfg.scorer_sample_mod)
-    key = hash_strings(pa.array(ids, pa.string()), seed=0x1D)
+    key = cid64(pa.array(ids, pa.string()))
     order = np.argsort(key)
     counts = np.diff(off)[order]
     starts = off[:-1][order]
@@ -127,7 +127,7 @@ def test_score_pairs_widens_single_block_input(ray_session):
     ids, texts = _mk_corpus(n=40)
     batch = _pairs_batch(ids, texts, cfg, with_texts=False)
     # LUT over the corpus (sorted-table layout, as build_text_lut_ref makes)
-    key = hash_strings(pa.array(ids), seed=0x1D)
+    key = cid64(pa.array(ids))
     order = np.argsort(key)
     off, val = shingle_set_table(
         pa.array(texts), cfg.shingle_k, cfg.scorer_sample_mod
