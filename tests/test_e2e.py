@@ -149,3 +149,55 @@ def test_pipeline_degenerate_corpus(ray_session, tmp_path):
     assert set(cl.conv_id) == {"c1", "c2", "c3", "c4", "c5"}
     m = dict(zip(cl.conv_id, cl.cluster_id))
     assert m["c4"] == m["c5"]
+
+
+def test_iterative_relay_closure_e2e_matches_two_phase(ray_session, tmp_path,
+                                                       monkeypatch):
+    """VERDICT r3 #6: the beyond-driver closure path (iterative Hash-to-Min
+    with salted virtual relays) exercised END-TO-END through dedupe_pipeline —
+    DRIVER_CC_MAX_EDGES forced to 0 so the two-phase driver fast path is
+    unreachable, closure_fanin shrunk so the viral component actually routes
+    through relays — must produce clusters identical to the default path."""
+    from mediachain_indexer_ray.fixtures import FixtureSpec, write_corpus
+    from mediachain_indexer_ray.stages import closure
+
+    corpus = str(tmp_path / "viral")
+    # viral_fanout 60 ≫ closure_fanin 4: the giant component must relay
+    write_corpus(FixtureSpec(n_base=30, viral_fanout=60), corpus,
+                 shuffle_rows=True)
+    path = f"{corpus}/transcripts.parquet"
+
+    cfg_two = Config(work_dir=str(tmp_path / "w_two"))
+    two = dedupe_pipeline(path, cfg_two)["clusters"].to_pandas()
+
+    monkeypatch.setattr(closure, "DRIVER_CC_MAX_EDGES", 0)
+    cfg_it = Config(work_dir=str(tmp_path / "w_iter"), closure_fanin=4)
+    out_it = dedupe_pipeline(path, cfg_it)
+    it = out_it["clusters"].to_pandas()
+
+    key = ["conv_id", "cluster_id"]
+    pd.testing.assert_frame_equal(
+        two.sort_values(key).reset_index(drop=True)[key],
+        it.sort_values(key).reset_index(drop=True)[key],
+    )
+
+    # relay assertion: re-run closure over the SAME edges with a checkpoint
+    # spy — at least one round frontier must contain virtual (bit-63) rows,
+    # proving the relay routing engaged rather than degenerating to plain
+    # Hash-to-Min
+    import numpy as np
+
+    virt_rounds = []
+
+    def spy(name, ds):
+        m = ds.materialize()
+        if name != "closure_r0":
+            u = m.to_pandas()["u"].to_numpy().astype(np.uint64)
+            if (u & closure.VIRT_BIT).any():
+                virt_rounds.append(name)
+        return m
+
+    closure.connected_components(
+        out_it["edges"], cfg_it, checkpoint=spy, num_parts=4
+    ).materialize()
+    assert virt_rounds, "no round frontier carried virtual relay rows"

@@ -127,6 +127,43 @@ def test_incremental_join_path_matches_broadcast(split_corpus, ray_session,
     assert set(inc["conv_id"]) == set(full["conv_id"])
 
 
+def test_incremental_eval_f1(split_corpus, ray_session):
+    """VERDICT r3 #10: the dedupe-eval F1 gate must hold on the INCREMENTAL
+    output, not only on a full re-run — base+delta clusters evaluated against
+    the full corpus's labels, with the candidate/signature universe being the
+    union of the base run's checkpoints and the delta stages."""
+    from mediachain_indexer_ray.pipelines.evaluate import evaluate_clusters
+    from mediachain_indexer_ray.state.checkpoint import (
+        CheckpointManager,
+        read_checkpoint,
+    )
+
+    full_dir, base_p, delta_p, work = split_corpus
+    cfg = Config(work_dir=os.path.join(work, "w_base"))
+    dedupe_pipeline(base_p, cfg)  # cached from the earlier test
+
+    out = incremental_dedupe(
+        delta_p, cfg.work_dir, cfg, os.path.join(work, "w_inc")
+    )
+
+    base = CheckpointManager(cfg.work_dir, cfg.content_hash())
+    base_sigs = read_checkpoint(base.stage_dir("signatures"))
+    base_pairs = read_checkpoint(base.stage_dir("pairs_scored"))
+
+    sig_cols = ["conv_id", "digest"]
+    sigs = base_sigs.select_columns(sig_cols).union(
+        out["delta_signatures"].select_columns(sig_cols)
+    )
+    cands = base_pairs.select_columns(["a", "b"]).union(
+        out["pairs"].select_columns(["a", "b"])
+    )
+
+    labels = pd.read_parquet(f"{full_dir}/labels.parquet")
+    m = evaluate_clusters(labels, out["clusters"], cands, sigs)
+    assert m["n_eligible"] > 0
+    assert m["f1"] >= 0.99, m
+
+
 def test_incremental_invalidated_by_base_rebuild(split_corpus, ray_session, tmp_path):
     """Rebuilding the BASE work dir (same config, different data) must
     invalidate the delta checkpoints — the delta fingerprints fold in the base
