@@ -100,6 +100,60 @@ def _run_flagship(corpus: str, work_dir: str) -> dict:
     return {"sec": round(sec, 2), "n_clusters": n_clusters, "stages": stages}
 
 
+def _run_incremental(corpus: str) -> dict:
+    """Delta-path measurement (VERDICT r3 #9): base dedupe over all corpus
+    shards but the last, then ``incremental_dedupe`` of the last shard
+    (~1/8 of the corpus) against the completed base run. Shards are
+    conversation-local by construction (fixtures._chunk_tables), so the
+    base/delta conv_id sets are disjoint."""
+    import glob
+
+    from mediachain_indexer_ray.config import Config
+    from mediachain_indexer_ray.pipelines.dedupe import dedupe_pipeline
+    from mediachain_indexer_ray.pipelines.incremental import incremental_dedupe
+
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    if len(files) < 2:
+        return {}
+    base_dir = "/tmp/mcray_bench_incr_base"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    os.makedirs(base_dir)
+    for f in files[:-1]:
+        os.symlink(f, os.path.join(base_dir, os.path.basename(f)))
+    delta = files[-1]
+
+    w_base, w_inc = "/tmp/mcray_bench_incr_wb", "/tmp/mcray_bench_incr_wi"
+    shutil.rmtree(w_base, ignore_errors=True)
+    shutil.rmtree(w_inc, ignore_errors=True)
+    cfg = Config(work_dir=w_base)
+    t0 = time.time()
+    dedupe_pipeline(base_dir, cfg)
+    base_sec = time.time() - t0
+    t0 = time.time()
+    out = incremental_dedupe(delta, w_base, cfg, w_inc)
+    n_rows = out["clusters"].count()
+    delta_sec = time.time() - t0
+
+    import pyarrow.parquet as pq
+
+    delta_turns = pq.read_metadata(delta).num_rows
+    return {
+        "base_sec": round(base_sec, 2),
+        "delta_sec": round(delta_sec, 2),
+        "delta_turns": delta_turns,
+        "delta_turns_per_sec": round(delta_turns / delta_sec, 1),
+        "merged_cluster_rows": n_rows,
+        # per-stage walls: the delta wall is NOT O(delta) — band re-emission
+        # spans base∪delta reps and closure spans the merged edge set; what
+        # the delta path avoids at scale is re-SCORING old×old pairs
+        "stages": {
+            e["stage"]: round(e["wall_sec"], 2)
+            for e in out["_checkpoints"].events
+            if e.get("action") == "run"
+        },
+    }
+
+
 def main_default() -> None:
     import logging
 
@@ -145,6 +199,13 @@ def main_default() -> None:
     fl = _run_flagship(corpus, "/tmp/mcray_bench_work")
     fl_sec = time.time() - t0
     times["flagship_dedupe"] = round(fl_sec, 2)
+    print(f"[bench] flagship_dedupe: {times['flagship_dedupe']}s", file=sys.stderr)
+
+    inc = _run_incremental(corpus)
+    if inc:
+        times["incremental_delta"] = inc["delta_sec"]
+        print(f"[bench] incremental_delta: {inc['delta_sec']}s "
+              f"(base {inc['base_sec']}s)", file=sys.stderr)
     total = time.time() - total0
 
     out = {
@@ -162,6 +223,8 @@ def main_default() -> None:
             "stages": {k: round(v, 2) for k, v in fl["stages"].items()},
         },
     }
+    if inc:
+        out["incremental"] = inc
     ray.shutdown()
     print(json.dumps(out))
 
