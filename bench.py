@@ -399,11 +399,16 @@ def main_scaling() -> None:
     BENCH_TURNS = max(BENCH_TURNS, 13_000_000)
     corpus, turns = _bench_corpus_path()
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    # per-rep hardware bracket (VERDICT r3 #1): one raw-kernel calibration
+    # pair runs in the SAME MINUTE as each job pair, so every efficiency
+    # number carries the box state it was measured under
+    bracket = os.environ.get("GRAFT_SCALING_BRACKET", "1") != "0"
     lo, hi = SCALING_CPUS
     factor = hi / lo
     secs = {lo: [], hi: []}
     stages = {}
     pair_effs = []
+    brackets = []
     for rep in range(repeats):
         for cpus in (lo, hi):
             child = _run_child(cpus, corpus)
@@ -414,6 +419,21 @@ def main_scaling() -> None:
         eff = secs[lo][-1] / (secs[hi][-1] * factor)
         pair_effs.append(round(eff, 3))
         print(f"[scaling] rep {rep} pair efficiency: {eff:.3f}", file=sys.stderr)
+        if bracket:
+            cal = {}
+            for cpus in (lo, hi):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--child-hwcalib", str(cpus)],
+                    capture_output=True, text=True, timeout=600,
+                )
+                cal[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+            br = {
+                k: round(cal[lo][f"{k}_sec"] / (cal[hi][f"{k}_sec"] * factor), 3)
+                for k in ("matmul", "stream")
+            }
+            brackets.append(br)
+            print(f"[scaling] rep {rep} hw bracket: {br}", file=sys.stderr)
     import statistics
 
     # statistics.median averages the two middle values for even repeat
@@ -440,6 +460,7 @@ def main_scaling() -> None:
         "turns_per_sec": {str(c): round(turns / min(s), 1)
                           for c, s in secs.items()},
         "stage_walls": stages,
+        "hw_brackets": brackets,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
@@ -453,6 +474,15 @@ def main_scaling() -> None:
             f"**median {med:.3f}** (target ≥ 0.8, BASELINE.json:2); "
             f"best-of-{repeats} {best:.3f}\n"
         )
+        if brackets:
+            f.write(
+                "\nper-rep same-minute hardware brackets (raw-kernel "
+                "efficiency ceilings measured immediately after each pair):\n\n"
+                "| rep | job pair eff | matmul ceiling | stream (DRAM) ceiling |\n"
+                "|---|---|---|---|\n"
+            )
+            for i, (pe, br) in enumerate(zip(pair_effs, brackets)):
+                f.write(f"| {i} | {pe} | {br['matmul']} | {br['stream']} |\n")
     print(json.dumps(out))
 
 
