@@ -17,7 +17,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from mediachain_indexer_ray.config import Config
 from mediachain_indexer_ray.functions.textstats import (
     char_class_counts,
     fingerprints,

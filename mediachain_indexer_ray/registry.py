@@ -16,7 +16,6 @@ New strategies plug in by registering a model spec; the pipeline looks up
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable
 
 from mediachain_indexer_ray.stages.scoring import PairScorer
 

@@ -25,7 +25,6 @@ import shutil
 import time
 import uuid
 
-import pyarrow.parquet as pq
 
 import ray.data
 
