@@ -213,10 +213,11 @@ def incremental_dedupe(
         # id universe = EVERY base conversation (kind=0 reps AND kind=1
         # exact-dup members — the members are edge nodes whose string ids
         # exist only here) ∪ the delta: attach_string_labels derives all
-        # output rows from this stream
-        ids = old_mixed.select_columns(["conv_id"]).union(
-            delta_sigs.select_columns(["conv_id"])
-        )
+        # output rows from this stream. Fresh column-pruned read — the wide
+        # old_mixed (minhash/shingles) must not ride the attach shuffle.
+        ids = read_checkpoint(
+            base.stage_dir("exact_dedup"), columns=["conv_id"]
+        ).union(delta_sigs.select_columns(["conv_id"]))
         return attach_string_labels(
             ids,
             comp,

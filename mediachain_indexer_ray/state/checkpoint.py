@@ -33,11 +33,31 @@ from mediachain_indexer_ray.config import default_parallelism
 MANIFEST = "_manifest.json"
 
 
-def read_checkpoint(path: str) -> ray.data.Dataset:
-    """Read a stage checkpoint with enough blocks to keep every core busy —
-    a checkpoint written as few files must not collapse downstream stages to
-    single-task execution (row groups are written small for splitability)."""
-    return ray.data.read_parquet(path, override_num_blocks=default_parallelism())
+def read_checkpoint(
+    path: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Read a stage checkpoint with a DATA-AWARE block count: enough blocks
+    to keep every core busy on a big checkpoint (written with small row
+    groups for splitability), but never splintering a small one into dozens
+    of near-empty tasks whose scheduling overhead dominates (measured: the
+    incremental clusters stage spent ~2 s of its 3 s wall re-reading three
+    sub-30k-row checkpoints at 64 blocks each). ``columns`` prunes at the
+    read (SURVEY.md §4)."""
+    import pyarrow.parquet as pq
+
+    files = [path] if os.path.isfile(path) else [
+        os.path.join(r, f)
+        for r, _, fs in sorted(os.walk(path))
+        for f in sorted(fs) if f.endswith(".parquet")
+    ]
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    total_bytes = sum(os.stat(f).st_size for f in files)
+    P = int(max(1, min(
+        default_parallelism(),
+        max(rows // 32_768, total_bytes // (128 << 20), 1),
+    )))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=P)
 
 
 def _dir_fingerprint(path: str) -> str:
