@@ -126,9 +126,22 @@ def _dupe_lookup(sf_dir: str):
     from mediachain_indexer_ray.pipelines.lookup import dupe_lookup
 
     clusters = _flagship_fixture(sf_dir)  # ensures the run exists (cached)
-    df = clusters.to_pandas()
-    sizes = df.groupby("cluster_id")["conv_id"].transform("size")
-    qs = sorted(df[sizes > 1]["conv_id"])[:10]
+    # native idiom (VERDICT r3 cosmetic): non-singleton cluster ids via a
+    # distributed groupby-count; only bounded id lists reach the driver
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    counts = clusters.groupby("cluster_id").count()
+    multi = counts.map_batches(
+        lambda b: b.filter(_pc.greater(b.column("count()"), 1)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()["cluster_id"]
+    multi_arr = _pa.array(sorted(set(multi)), _pa.string())
+    member = clusters.map_batches(
+        lambda b: b.filter(_pc.is_in(b.column("cluster_id"), multi_arr)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    qs = sorted(member["conv_id"])[:10]
     sf = 0.01 if "sf0.01" in sf_dir else (0.001 if "sf0.001" in sf_dir else 0.1)
     n_base = max(60, int(2000 * sf))
     work = f"/tmp/mcray_fixture_{n_base}_42/work"
