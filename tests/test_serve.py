@@ -94,3 +94,27 @@ def test_feedback(server, tmp_path):
     assert r1["recorded"] and r2["total"] >= 2
     lines = open(f"{cfg.work_dir}/feedback.jsonl").read().strip().splitlines()
     assert json.loads(lines[-1])["a"] == "x"
+
+
+def test_search_punctuation_recall(server):
+    """A word that occurs only glued to punctuation ('hello,') must be found
+    by the bare query 'hello' — the serving index tokenizes with the same
+    [^a-z]+ pattern as the head search_index pipeline (ADVICE r4: the old
+    \\s+ tokenizer kept punctuation in tokens and lost these matches)."""
+    import re
+    import urllib.parse
+
+    base, out, cfg = server
+    convs = out["conversations"].to_pandas()
+    allt = "\x1e".join(t.lower() for t in convs["doc_text"])
+    glued = set(re.findall(r"([a-z]{4,})[,.!?;:]", allt))
+    bare = set(re.findall(r"([a-z]{4,})(?=[\s\x1e]|$)", allt))
+    pick = sorted(glued - bare) or sorted(glued)
+    if not pick:
+        pytest.skip("fixture corpus has no punctuation-glued words")
+    word = pick[0]
+    res = _get(f"{base}/search?q={word}&k=10")
+    assert len(res["hits"]) >= 1
+    # punctuated QUERY terms are tokenized with the same pattern
+    res2 = _get(f"{base}/search?q={urllib.parse.quote(word + ',')}&k=10")
+    assert len(res2["hits"]) >= 1
