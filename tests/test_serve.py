@@ -118,3 +118,44 @@ def test_search_punctuation_recall(server):
     # punctuated QUERY terms are tokenized with the same pattern
     res2 = _get(f"{base}/search?q={urllib.parse.quote(word + ',')}&k=10")
     assert len(res2["hits"]) >= 1
+
+
+def test_ann_endpoint(pipeline_outputs, tmp_path, ray_session):
+    """/ann serves embedding top-k from the persisted IVF index (reference
+    mc_neighbors point queries; VERDICT r4 next #1): an indexed vector must
+    rank itself first."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mediachain_indexer_ray.pipelines.annindex import build_ann_index
+    from mediachain_indexer_ray.serve import serve
+
+    out, cfg, corpus = pipeline_outputs
+    out["_checkpoints"].flush()
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                "embedding": pa.array(list(vecs)),
+            }
+        ),
+        str(tmp_path / "emb.parquet"),
+    )
+    ds = ray.data.read_parquet(str(tmp_path / "emb.parquet"))
+    idx = str(tmp_path / "annidx")
+    build_ann_index(ds, idx, n_centroids=8, seed=1)
+
+    httpd = serve(cfg.work_dir, cfg, port=0, ann_index_dir=idx)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        res = _post(f"{base}/ann", {"vectors": [vecs[13].tolist()], "k": 3})
+        hits = res["results"][0]
+        assert hits[0]["vec_id"] == 13 and hits[0]["rank"] == 1
+        assert len(hits) == 3
+    finally:
+        httpd.shutdown()
