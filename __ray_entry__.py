@@ -190,6 +190,17 @@ def _dedupe_eval(sf_dir: str):
     )
 
 
+def _substring_dedup(sf_dir: str):
+    """Substring-level exact dedup (VERDICT r4 next #2): maximal repeated
+    >=12-token spans across documents; value-exact vs the window-semantics
+    DuckDB oracle; brute-force ground truth in tests/test_substring.py."""
+    from mediachain_indexer_ray.pipelines.substring import (
+        substring_dedup_documents,
+    )
+
+    return substring_dedup_documents(sf_dir)
+
+
 def _ann_index(sf_dir: str):
     """Persisted IVF-Flat index (reference mc_neighbors build-once/query-many,
     VERDICT r4 next #1): build cached per corpus+params, queries answered by
@@ -286,7 +297,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # _scalable as oracle-checked in-head siblings; _cont passed r03
         # rows+hash, code unchanged)
         "order_price_quantiles_sketch": Q.order_price_quantiles_sketch,
-        "order_price_quantiles_scalable": Q.order_price_quantiles_scalable,
+        # substring_dedup_documents (r5, VERDICT r4 next #2): maximal repeated
+        # token spans (Lee-et-al substring modality) — value-exact DuckDB
+        # oracle. Rotation r5: order_price_quantiles_scalable moves to the
+        # tail (quantile family keeps order_price_quantiles + the KLL sketch
+        # in the head; _scalable passed r03/r04 rows+hash, code unchanged)
+        "substring_dedup_documents": _substring_dedup,
         "rollup_revenue": Q.rollup_revenue,
         "stratified_sample_events": Q.stratified_sample_events,
         "frequent_tokens_sketch": Q.frequent_tokens_sketch,
@@ -338,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # media_features_stub (the byte-histogram seam default, seam-tested).
         "events_by_type": Q.events_by_type,
         "union_sources": Q.union_sources,
+        "order_price_quantiles_scalable": Q.order_price_quantiles_scalable,
         "text_search": Q.text_search,
         "order_price_quantiles_cont": Q.order_price_quantiles_cont,
         "top_orders": Q.top_orders,
@@ -360,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from mediachain_indexer_ray.pipelines import queries as Q
     from mediachain_indexer_ray.pipelines import similarity as sim
+    from mediachain_indexer_ray.pipelines import substring as SUB
 
     return {
         "search_index": Q.BM25_SEARCH_SQL,
@@ -410,4 +428,5 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": Q.TOP_BIGRAMS_SQL,
         "redact_events_props": Q.REDACT_EVENTS_PROPS_SQL,
         "doc_repetition": Q.DOC_REPETITION_SQL,
+        "substring_dedup_documents": SUB.SUBSTRING_DEDUP_DOCUMENTS_SQL,
     }
