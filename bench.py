@@ -154,6 +154,62 @@ def _run_incremental(corpus: str) -> dict:
     }
 
 
+def _run_streaming(corpus: str) -> dict:
+    """IngestWatcher wall times (VERDICT r4 next #7): base wave, two
+    incremental micro-batches, then a compaction-triggering wave — the full
+    pipelines/streaming.py lifecycle, measured per cycle."""
+    import glob
+
+    from mediachain_indexer_ray.config import Config
+    from mediachain_indexer_ray.pipelines.streaming import IngestWatcher
+
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    if len(files) < 4:
+        return {}
+    watch_dir = "/tmp/mcray_bench_stream_watch"
+    work_root = "/tmp/mcray_bench_stream_work"
+    shutil.rmtree(watch_dir, ignore_errors=True)
+    shutil.rmtree(work_root, ignore_errors=True)
+    os.makedirs(watch_dir)
+    n_base = max(1, len(files) - 3)
+    waves = [
+        ("base", files[:n_base]),
+        ("delta1", files[n_base:n_base + 1]),
+        ("delta2", files[n_base + 1:n_base + 2]),
+        # remaining shards push delta past compact_ratio x base -> compaction
+        ("compact", files[n_base + 2:]),
+    ]
+    cfg = Config(work_dir=work_root)
+    # ratio picked from the ACTUAL shard rows (the tail shard can be small):
+    # midway between the two-micro-batch and final-wave delta fractions, so
+    # the cycle actions are exactly base/delta/delta/compact — one of each
+    # lifecycle phase
+    import pyarrow.parquet as pq
+
+    rows = [pq.read_metadata(f).num_rows for f in files]
+    base_r = sum(rows[:n_base])
+    two = sum(rows[n_base:n_base + 2])
+    alld = sum(rows[n_base:])
+    w = IngestWatcher(watch_dir, work_root, cfg,
+                      compact_ratio=(two + alld) / (2 * base_r))
+    out: dict = {"cycles": {}}
+    for name, wave in waves:
+        for f in wave:
+            os.symlink(f, os.path.join(watch_dir, os.path.basename(f)))
+        t0 = time.time()
+        st = w.run_once()
+        out["cycles"][name] = {
+            "action": st["action"],
+            "sec": round(time.time() - t0, 2),
+            "new_shards": st["new_shards"],
+        }
+        print(f"[bench] streaming {name}: {st['action']} "
+              f"{out['cycles'][name]['sec']}s", file=sys.stderr)
+    out["final_clusters"] = w.clusters().count()
+    out["total_sec"] = round(sum(c["sec"] for c in out["cycles"].values()), 2)
+    return out
+
+
 def main_default() -> None:
     import logging
 
@@ -210,6 +266,10 @@ def main_default() -> None:
         print(f"[bench] incremental_delta: {inc['delta_sec']}s "
               f"(base {inc['base_sec']}s)", file=sys.stderr)
 
+    stream = _run_streaming(corpus)
+    if stream:
+        times["streaming_cycles"] = stream["total_sec"]
+
     out = {
         "metric": "pipeline wall time (sf tables + flagship transcript dedupe)",
         "value": round(total, 2),
@@ -227,6 +287,8 @@ def main_default() -> None:
     }
     if inc:
         out["incremental"] = inc
+    if stream:
+        out["streaming"] = stream
     ray.shutdown()
     print(json.dumps(out))
 
