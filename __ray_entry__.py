@@ -211,6 +211,19 @@ def _ann_index(sf_dir: str):
     return ann_index_topk(sf_dir, n_centroids=16, n_probe=4)
 
 
+def _semdedup(sf_dir: str):
+    """SemDeDup (r5): spherical k-means clustering + within-cluster
+    earlier-similar pruning over the embeddings table. Rows-only (k-means is
+    not SQL-expressible); exact single-cluster parity, planted-copy recall
+    and layout invariance gated in tests/test_semdedup.py."""
+    from mediachain_indexer_ray.pipelines.semdedup import semdedup_embeddings
+
+    # eps matches the embedding-near-dup family's 0.35 cosine threshold (the
+    # fixture's planted near-dups live there; web-scale text embeddings would
+    # use ~0.9+)
+    return semdedup_embeddings(sf_dir, eps=0.35, n_clusters=16)
+
+
 def _search_index(sf_dir: str):
     """Posting-list index build (cached per corpus) + BM25 top-k served from
     the index — value-exact vs BM25_SEARCH_SQL (VERDICT r3 #7)."""
@@ -369,6 +382,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": Q.fingerprint_documents,
         "simhash_documents": lambda d: docdedup.simhash_table(_docs(d)),
         "ngram_dedup_documents": lambda d: docdedup.ngram_jaccard_dedup(_docs(d)),
+        # semdedup (r5): cluster-then-prune semantic dedup (Abbas et al.
+        # 2023) — the third embedding-dedup shape beside the exact tiled
+        # self-join and the LSH blocker; parity/recall/invariance gates in
+        # tests/test_semdedup.py
+        "semdedup_embeddings": _semdedup,
         "dedupe_transcripts": _flagship_fixture,
         "dedupe_events_flagship": _flagship,
     }
